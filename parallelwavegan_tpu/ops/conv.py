@@ -1,0 +1,121 @@
+"""1-D convolution primitives, channels-last (B, T, C), torch-compatible math.
+
+Everything here wraps `lax.conv_general_dilated` with NWC/WIO layouts so XLA
+maps the contraction onto the MXU. Kernel layout is always (K, Cin/groups, Cout).
+
+`conv_transpose1d` reproduces torch's ConvTranspose1d output-length formula
+    out = (T - 1)*stride - 2*padding + dilation*(K - 1) + output_padding + 1
+(reference models rely on it, e.g. /root/reference/parallel_wavegan/models/
+melgan.py:92-102 and hifigan.py:99-107) expressed as an input-dilated forward
+conv, which is the XLA/TPU-native formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers((1, 1, 1), (1, 1, 1), ("NWC", "WIO", "NWC"))
+
+PadLike = Union[int, Tuple[int, int], str]
+
+
+def pad1d(x: jnp.ndarray, pad: Tuple[int, int], mode: str = "zeros",
+          value: float = 0.0) -> jnp.ndarray:
+    """Pad the time axis of (B, T, C)."""
+    if pad == (0, 0):
+        return x
+    cfg = [(0, 0)] * (x.ndim - 2) + [tuple(pad), (0, 0)]
+    if mode in ("zeros", "constant"):
+        return jnp.pad(x, cfg, mode="constant", constant_values=value)
+    if mode == "reflect":
+        return jnp.pad(x, cfg, mode="reflect")
+    if mode in ("replicate", "edge"):
+        return jnp.pad(x, cfg, mode="edge")
+    raise ValueError(f"unsupported pad mode: {mode}")
+
+
+def _norm_pad(padding: PadLike) -> Sequence[Tuple[int, int]]:
+    if isinstance(padding, int):
+        return [(padding, padding)]
+    if isinstance(padding, (tuple, list)):
+        return [tuple(padding)]
+    if padding == "same":
+        return "SAME"
+    if padding == "valid":
+        return "VALID"
+    raise ValueError(f"unsupported padding: {padding}")
+
+
+def conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: PadLike = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """x (B, T, Cin) * kernel (K, Cin/groups, Cout) -> (B, T', Cout)."""
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=_norm_pad(padding),
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    output_padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """Torch-semantics transposed conv as an lhs-dilated forward conv.
+
+    x (B, T, Cin); kernel (K, Cin/groups, Cout) in *forward-conv* orientation
+    (the module layer stores it this way; a torch checkpoint's (Cin, Cout/g, K)
+    weight maps via transpose + spatial flip in the importer).
+    """
+    k = kernel.shape[0]
+    eff_k = dilation * (k - 1) + 1
+    lo = eff_k - 1 - padding
+    hi = eff_k - 1 - padding + output_padding
+    y = lax.conv_general_dilated(
+        x,
+        jnp.flip(kernel, axis=0),
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        lhs_dilation=(stride,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def upsample_nearest_time(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest-neighbor upsampling along the time axis of (B, T, C)."""
+    if scale == 1:
+        return x
+    B, T, C = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (B, T, scale, C)).reshape(B, T * scale, C)
