@@ -13,6 +13,39 @@ import pytest
 REFERENCE_ROOT = "/root/reference"
 
 
+def _shim_librosa():
+    """Install a minimal librosa stand-in (librosa is not in this image).
+
+    Only `librosa.filters.mel` is provided, backed by our own slaney
+    filterbank. Parity tests that go through this shim therefore validate the
+    STFT/eps/log pipeline, not the mel matrix itself (covered separately by
+    invariant tests).
+    """
+    try:
+        import librosa  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import types
+
+    import numpy as np
+
+    from parallelwavegan_tpu.ops.mel import mel_filter_bank
+
+    librosa = types.ModuleType("librosa")
+    filters = types.ModuleType("librosa.filters")
+
+    def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kwargs):
+        return np.asarray(mel_filter_bank(sr, n_fft, n_mels, fmin, fmax))
+
+    filters.mel = mel
+    librosa.filters = filters
+    librosa.__version__ = "0.0-shim"
+    sys.modules["librosa"] = librosa
+    sys.modules["librosa.filters"] = filters
+
+
 def import_reference():
     """Return the `parallel_wavegan` package from the reference, or skip."""
     import os
@@ -23,6 +56,7 @@ def import_reference():
 
     if not hasattr(scipy.signal, "kaiser"):
         scipy.signal.kaiser = scipy.signal.windows.kaiser
+    _shim_librosa()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     try:
