@@ -126,8 +126,9 @@ def pad_mode_from_torch(name: str) -> str:
 # ---------------------------------------------------------------------------
 # Norm helpers shared by Conv1d/Conv2d
 # ---------------------------------------------------------------------------
-def _wn_norm(v: jnp.ndarray) -> jnp.ndarray:
-    axes = tuple(range(v.ndim - 1))
+def _wn_norm(v: jnp.ndarray, axes=None) -> jnp.ndarray:
+    if axes is None:
+        axes = tuple(range(v.ndim - 1))
     return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
 
 
@@ -135,11 +136,15 @@ class _ConvBase(nn.Module):
     """Shared weight handling for normed convs."""
 
     def _kernel(self, shape, kernel_init, use_weight_norm, use_spectral_norm,
-                deterministic):
+                deterministic, wn_axes=None):
+        # wn_axes: reduction axes of the weight-norm ||v||. Default all-but-
+        # last (per out channel, torch weight_norm dim=0 on conv). Transposed
+        # convs pass per-*input*-channel axes, since torch's dim=0 there is
+        # the input-channel dim of its (I, O, K) weight.
         if use_weight_norm:
             v = self.param("kernel_v", kernel_init, shape)
-            g = self.param("kernel_g", lambda rng: _wn_norm(v))
-            kernel = v * (g / jnp.maximum(_wn_norm(v), 1e-12))
+            g = self.param("kernel_g", lambda rng: _wn_norm(v, wn_axes))
+            kernel = v * (g / jnp.maximum(_wn_norm(v, wn_axes), 1e-12))
         else:
             kernel = self.param("kernel", kernel_init, shape)
         if use_spectral_norm:
@@ -233,7 +238,7 @@ class ConvTranspose1d(_ConvBase):
         shape = (self.kernel_size, in_ch // self.groups, self.features)
         kernel = self._kernel(
             shape, self.kernel_init, self.use_weight_norm,
-            self.use_spectral_norm, deterministic,
+            self.use_spectral_norm, deterministic, wn_axes=(0, 2),
         )
         bias = None
         if self.bias:

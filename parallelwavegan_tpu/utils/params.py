@@ -25,7 +25,8 @@ def _fold(tree: Any) -> Any:
     if "kernel_v" in keys and "kernel_g" in keys:
         v = tree["kernel_v"]
         g = tree["kernel_g"]
-        axes = tuple(range(v.ndim - 1))
+        # reduction axes are wherever g is broadcast (size-1 dims)
+        axes = tuple(d for d in range(v.ndim) if g.shape[d] == 1)
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
         out["kernel"] = v * (g / jnp.maximum(norm, 1e-12))
         for k in keys - {"kernel_v", "kernel_g"}:

