@@ -75,7 +75,9 @@ def test_log_mel_matches_reference_preprocess():
     Skipped when librosa is unavailable (it is not baked into this image);
     the torch.stft parity test above plus mel invariants cover the pieces.
     """
-    pytest.importorskip("librosa")
+    librosa = pytest.importorskip("librosa")
+    if getattr(librosa, "__version__", "") == "0.0-shim":
+        pytest.skip("only the librosa shim is available (no librosa.stft)")
     from tests.reference_oracle import import_reference
 
     import_reference()
