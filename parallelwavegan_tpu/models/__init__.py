@@ -19,10 +19,18 @@ from parallelwavegan_tpu.models.parallel_wavegan import (  # noqa: F401
     ParallelWaveGANGenerator,
     ResidualParallelWaveGANDiscriminator,
 )
+from parallelwavegan_tpu.models.discrete import (  # noqa: F401
+    DiscreteSymbolDurationGenerator,
+    DiscreteSymbolF0Generator,
+    DiscreteSymbolHiFiGANGenerator,
+    DiscreteSymbolStyleMelGANGenerator,
+)
 from parallelwavegan_tpu.models.style_melgan import (  # noqa: F401
     StyleMelGANDiscriminator,
     StyleMelGANGenerator,
 )
+from parallelwavegan_tpu.models.uhifigan import UHiFiGANGenerator  # noqa: F401
+from parallelwavegan_tpu.models.vqvae import VQVAE  # noqa: F401
 
 _REGISTRY = {
     "ParallelWaveGANGenerator": ParallelWaveGANGenerator,
@@ -41,6 +49,12 @@ _REGISTRY = {
     ),
     "StyleMelGANGenerator": StyleMelGANGenerator,
     "StyleMelGANDiscriminator": StyleMelGANDiscriminator,
+    "UHiFiGANGenerator": UHiFiGANGenerator,
+    "VQVAE": VQVAE,
+    "DiscreteSymbolHiFiGANGenerator": DiscreteSymbolHiFiGANGenerator,
+    "DiscreteSymbolDurationGenerator": DiscreteSymbolDurationGenerator,
+    "DiscreteSymbolF0Generator": DiscreteSymbolF0Generator,
+    "DiscreteSymbolStyleMelGANGenerator": DiscreteSymbolStyleMelGANGenerator,
 }
 
 
