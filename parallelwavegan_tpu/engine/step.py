@@ -1,0 +1,293 @@
+"""Jitted GAN train/eval steps (the SPMD analogue of the reference's
+Trainer._train_step, /root/reference/parallel_wavegan/bin/train.py:193-339).
+
+One compiled function performs the generator update then the discriminator
+update. Warm-up gating (generator_train_start_steps /
+discriminator_train_start_steps) selects between a handful of statically
+compiled variants keyed on (train_g, use_adv, train_d) — thresholds are
+crossed once per run, so at most three compilations happen, and each variant
+is free of dead branches.
+
+Parallelism: the trainer feeds a batch sharded over the mesh's "data" axis
+with replicated params; XLA inserts the gradient all-reduce (psum over
+ICI/DCN) automatically. Loss arithmetic matches the reference exactly,
+including the 0.5/0.5 full-band/subband re-weighting and lambda_aux/
+lambda_adv/lambda_feat_match application order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from parallelwavegan_tpu.engine.state import GANTrainState
+
+
+def make_generator_forward(config: Dict[str, Any], generator) -> Callable:
+    """Adapter: (variables, batch, rng, deterministic) -> (y_hat, aux)."""
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    use_noise = gen_type in (
+        "ParallelWaveGANGenerator",
+    ) or config.get("use_noise_input", False)
+
+    def forward(variables, batch, rng, deterministic):
+        r_drop, r_noise = jax.random.split(rng)
+        rngs = {"dropout": r_drop, "noise": r_noise}
+        aux: Dict[str, Any] = {}
+        if gen_type == "VQVAE":
+            x_in = batch.get("x_vq", batch["y"])
+            y_, z_e, z_q = generator.apply(
+                variables, x_in, batch.get("l"), batch.get("g"),
+                deterministic, rngs=rngs,
+            )
+            aux["z_e"], aux["z_q"] = z_e, z_q
+        elif "Duration" in gen_type:
+            y_, ds_out = generator.apply(
+                variables, batch["c"], batch["ds"], deterministic, rngs=rngs
+            )
+            aux["ds_out"] = ds_out
+        elif gen_type == "UHiFiGANGenerator":
+            y_ = generator.apply(
+                variables, batch["c"], batch.get("f0"),
+                batch.get("excitation"), deterministic, rngs=rngs,
+            )
+        elif "StyleMelGAN" in gen_type:
+            y_ = generator.apply(
+                variables, batch["c"], None, deterministic, rngs=rngs
+            )
+        elif gen_type == "DiscreteSymbolF0Generator":
+            y_ = generator.apply(
+                variables, batch["c"], batch.get("f0"), deterministic,
+                rngs=rngs,
+            )
+        elif use_noise:
+            y_ = generator.apply(
+                variables, batch["z"], batch["c"], deterministic, rngs=rngs
+            )
+        else:
+            y_ = generator.apply(
+                variables, batch["c"], deterministic, rngs=rngs
+            )
+        return y_, aux
+
+    return forward
+
+
+def make_discriminator_forward(config: Dict[str, Any], discriminator):
+    """Adapter handling spectral-norm state + random-window rng.
+
+    Returns (variables, x, rng, train) -> (outputs, new_extra).
+    """
+    def forward(params_d, extra_d, x, rng, train):
+        variables = {"params": params_d, **extra_d}
+        rngs = {"window": rng}
+        if train and "spectral" in extra_d:
+            outs, updated = discriminator.apply(
+                variables, x, False, rngs=rngs, mutable=["spectral"]
+            )
+            new_extra = dict(extra_d)
+            new_extra["spectral"] = updated["spectral"]
+            return outs, new_extra
+        outs = discriminator.apply(variables, x, not train, rngs=rngs)
+        return outs, extra_d
+
+    return forward
+
+
+def build_steps(
+    config: Dict[str, Any],
+    generator,
+    discriminator,
+    criterion: Dict[str, Any],
+    opt_g,
+    opt_d,
+):
+    """Return (train_step_factory, eval_step).
+
+    train_step_factory(train_g, use_adv, train_d) -> jitted step
+      step(state, batch, rng) -> (new_state, metrics)
+    eval_step(state, batch, rng) -> metrics   (includes adv metrics)
+    """
+    gen_forward = make_generator_forward(config, generator)
+    dis_forward = make_discriminator_forward(config, discriminator)
+    out_ch = config.get("generator_params", {}).get("out_channels", 1)
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    is_vq = gen_type == "VQVAE"
+    lambda_aux = config.get("lambda_aux", 1.0)
+    lambda_adv = config.get("lambda_adv", 4.0)
+    lambda_fm = config.get("lambda_feat_match", 2.0)
+    lambda_commit = config.get("lambda_commit", 0.25)
+
+    def prepare_batch(batch):
+        """Host-side-free prep: VQ subband input."""
+        batch = dict(batch)
+        if is_vq and config["generator_params"].get("in_channels", 1) > 1:
+            batch["x_vq"] = criterion["pqmf"].analysis(batch["y"])
+        return batch
+
+    def gen_losses(params_g, extra_g, params_d, extra_d, batch, rng,
+                   use_adv, deterministic):
+        metrics = {}
+        r_gen, r_d1, r_d2 = jax.random.split(rng, 3)
+        gvars = {"params": params_g, **extra_g}
+        y = batch["y"]  # (B, T, 1)
+        y_, aux = gen_forward(gvars, batch, r_gen, deterministic)
+        gen_loss = 0.0
+
+        if is_vq:
+            z_e, z_q = aux["z_e"], aux["z_q"]
+            quant = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
+            commit = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
+            metrics["quantization_loss"] = quant
+            metrics["commitment_loss"] = commit
+            gen_loss += quant + lambda_commit * commit
+        if "ds_out" in aux:
+            d_loss = criterion["duration"](aux["ds_out"], batch["ds"])
+            metrics["duration_loss"] = d_loss
+            gen_loss += d_loss
+
+        y_mb_ = None
+        if out_ch > 1:
+            y_mb_ = y_  # (B, T//S, S)
+            y_ = criterion["pqmf"].synthesis(y_mb_)
+
+        y_sq = y[..., 0]
+        y_hat_sq = y_[..., 0]
+        if "stft" in criterion:
+            sc_loss, mag_loss = criterion["stft"](y_hat_sq, y_sq)
+            metrics["spectral_convergence_loss"] = sc_loss
+            metrics["log_stft_magnitude_loss"] = mag_loss
+            gen_loss += sc_loss + mag_loss
+        if "sub_stft" in criterion:
+            gen_loss *= 0.5  # balance full-band vs subband
+            y_mb = criterion["pqmf"].analysis(y)
+            sub_sc, sub_mag = criterion["sub_stft"](
+                jnp.transpose(y_mb_, (0, 2, 1)), jnp.transpose(y_mb, (0, 2, 1))
+            )
+            metrics["sub_spectral_convergence_loss"] = sub_sc
+            metrics["sub_log_stft_magnitude_loss"] = sub_mag
+            gen_loss += 0.5 * (sub_sc + sub_mag)
+        if "mel" in criterion:
+            mel_loss = criterion["mel"](y_hat_sq, y_sq)
+            metrics["mel_loss"] = mel_loss
+            gen_loss += mel_loss
+
+        gen_loss *= lambda_aux
+
+        if use_adv:
+            # discriminator in eval mode during the generator update (the
+            # spectral-norm u update happens in the discriminator update)
+            p_, _ = dis_forward(params_d, extra_d, y_, r_d1, train=False)
+            adv_loss = criterion["gen_adv"](p_)
+            metrics["adversarial_loss"] = adv_loss
+            if "feat_match" in criterion:
+                p, _ = dis_forward(
+                    jax.lax.stop_gradient(params_d), extra_d, y, r_d2,
+                    train=False,
+                )
+                fm_loss = criterion["feat_match"](p_, p)
+                metrics["feature_matching_loss"] = fm_loss
+                adv_loss = adv_loss + lambda_fm * fm_loss
+            gen_loss = gen_loss + lambda_adv * adv_loss
+
+        metrics["generator_loss"] = gen_loss
+        return gen_loss, (metrics, y_)
+
+    def dis_losses(params_d, extra_d, y, y_hat, rng, train):
+        r1, r2 = jax.random.split(rng)
+        p, extra1 = dis_forward(params_d, extra_d, y, r1, train)
+        p_, extra2 = dis_forward(
+            params_d, extra1, jax.lax.stop_gradient(y_hat), r2, train
+        )
+        real_loss, fake_loss = criterion["dis_adv"](p_, p)
+        dis_loss = real_loss + fake_loss
+        metrics = {
+            "real_loss": real_loss,
+            "fake_loss": fake_loss,
+            "discriminator_loss": dis_loss,
+        }
+        return dis_loss, (metrics, extra2)
+
+    recompute = config.get("update_prediction_after_generator_update", True)
+
+    @functools.lru_cache(maxsize=8)
+    def train_step_factory(train_g: bool, use_adv: bool, train_d: bool):
+        def step(state: GANTrainState, batch, rng) -> Tuple[GANTrainState, Dict]:
+            batch = prepare_batch(batch)
+            rng = jax.random.fold_in(rng, state.steps)
+            r_g, r_dg, r_d = jax.random.split(rng, 3)
+            metrics: Dict[str, jnp.ndarray] = {}
+            params_g, opt_g_state = state.params_g, state.opt_g
+            y_hat = None
+
+            if train_g:
+                (gen_loss, (m, y_hat)), grads = jax.value_and_grad(
+                    gen_losses, has_aux=True
+                )(
+                    state.params_g, state.extra_g, state.params_d,
+                    state.extra_d, batch, r_g, use_adv, False,
+                )
+                metrics.update(m)
+                updates, opt_g_state = opt_g.update(
+                    grads, state.opt_g, state.params_g
+                )
+                params_g = jax.tree_util.tree_map(
+                    lambda p, u: p + u, state.params_g, updates
+                )
+
+            params_d, opt_d_state, extra_d = (
+                state.params_d, state.opt_d, state.extra_d
+            )
+            if train_d:
+                if recompute or not train_g or y_hat is None:
+                    gvars = {"params": params_g, **state.extra_g}
+                    y_hat_d, _ = gen_forward(gvars, batch, r_dg, False)
+                    if out_ch > 1:
+                        y_hat_d = criterion["pqmf"].synthesis(y_hat_d)
+                else:
+                    y_hat_d = y_hat
+                (dis_loss, (m, extra_d)), grads_d = jax.value_and_grad(
+                    dis_losses, has_aux=True
+                )(
+                    state.params_d, state.extra_d, batch["y"],
+                    jax.lax.stop_gradient(y_hat_d), r_d, True,
+                )
+                metrics.update(m)
+                updates_d, opt_d_state = opt_d.update(
+                    grads_d, state.opt_d, state.params_d
+                )
+                params_d = jax.tree_util.tree_map(
+                    lambda p, u: p + u, state.params_d, updates_d
+                )
+
+            new_state = state.replace(
+                steps=state.steps + 1,
+                params_g=params_g,
+                opt_g=opt_g_state,
+                params_d=params_d,
+                extra_d=extra_d,
+                opt_d=opt_d_state,
+            )
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def eval_step(state: GANTrainState, batch, rng, use_adv: bool = True):
+        batch = prepare_batch(batch)
+        rng = jax.random.fold_in(rng, state.steps)
+        r_g, r_d = jax.random.split(rng)
+        _, (metrics, y_hat) = gen_losses(
+            state.params_g, state.extra_g, state.params_d, state.extra_d,
+            batch, r_g, use_adv, True,
+        )
+        if use_adv:
+            _, (m_d, _) = dis_losses(
+                state.params_d, state.extra_d, batch["y"], y_hat, r_d, False
+            )
+            metrics.update(m_d)
+        return metrics
+
+    return train_step_factory, jax.jit(eval_step, static_argnums=(3,))

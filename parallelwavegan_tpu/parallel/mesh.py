@@ -1,0 +1,102 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL/DDP layer (/root/reference/parallel_wavegan/bin/train.py:
+1067-1086 and distributed/launch.py).
+
+Design: pure data parallelism over a 1-D mesh axis "data" (models are
+1-30M params and fit per chip; SURVEY.md section 2.9). Parameters are
+replicated, batches sharded on axis 0; gradient all-reduce is inserted by XLA
+as a psum over ICI/DCN when the jitted step consumes a sharded batch with
+replicated params — no hand-written collectives needed.
+
+Multi-host: `init_distributed` wraps jax.distributed.initialize with the
+same env-var rendezvous surface as the reference launcher (MASTER_ADDR/PORT,
+WORLD_SIZE, RANK).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX. Reads MASTER_ADDR/MASTER_PORT/WORLD_SIZE/
+    RANK env vars (the reference launcher's rendezvous protocol) when args
+    are not given. No-op for single-process runs."""
+    if coordinator_address is None and "MASTER_ADDR" in os.environ:
+        port = os.environ.get("MASTER_PORT", "29500")
+        coordinator_address = f"{os.environ['MASTER_ADDR']}:{port}"
+        num_processes = int(os.environ.get("WORLD_SIZE", "1"))
+        process_id = int(os.environ.get("RANK", "0"))
+    if coordinator_address is None or (num_processes or 1) <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logging.info(
+        "jax.distributed initialized: process %d/%d, %d local devices",
+        jax.process_index(), jax.process_count(), jax.local_device_count(),
+    )
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+_warned_indivisible = False
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Put a host batch onto the mesh, sharded along axis 0.
+
+    Falls back to replication (with a one-time warning) when the batch size
+    is not divisible by the mesh size — data parallelism then degrades to
+    redundant compute but stays correct.
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        global _warned_indivisible
+        if np.shape(x) and np.shape(x)[0] % n == 0:
+            spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+        else:
+            if not _warned_indivisible:
+                logging.warning(
+                    "batch dim %s not divisible by mesh size %d; replicating",
+                    np.shape(x), n,
+                )
+                _warned_indivisible = True
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+
+
+def batch_spec(mesh: Mesh, axis_name: str = "data"):
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_spec(mesh: Mesh):
+    return NamedSharding(mesh, P())

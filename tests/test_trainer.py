@@ -1,0 +1,229 @@
+"""Training-engine tests: trainability smoke over an 8-device CPU mesh
+(the fake-cluster substitute; SURVEY.md section 4), warm-up gating,
+checkpoint round-trip, multiband + HiFiGAN loss wiring."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from parallelwavegan_tpu.datasets import Collater
+from parallelwavegan_tpu.datasets.loader import DataLoader
+from parallelwavegan_tpu.engine import Trainer
+
+
+class SyntheticAudioMelDataset:
+    """Random (audio, mel) pairs obeying len(audio) == len(mel) * hop."""
+
+    def __init__(self, n=8, frames=40, hop=64, num_mels=16, seed=0):
+        rng = np.random.default_rng(seed)
+        self.items = [
+            (
+                rng.standard_normal(frames * hop).astype(np.float32) * 0.1,
+                rng.standard_normal((frames, num_mels)).astype(np.float32),
+            )
+            for _ in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+
+def _base_config(tmp_path):
+    return {
+        "sampling_rate": 16000,
+        "hop_size": 64,
+        "num_mels": 16,
+        "batch_max_steps": 512,
+        "batch_size": 8,
+        "outdir": str(tmp_path),
+        "train_max_steps": 4,
+        "save_interval_steps": 1000,
+        "eval_interval_steps": 2,
+        "log_interval_steps": 2,
+        "lambda_adv": 1.0,
+        "stft_loss_params": {
+            "fft_sizes": [64, 128], "hop_sizes": [16, 32],
+            "win_lengths": [48, 96],
+        },
+        "generator_optimizer_params": {"lr": 1e-4},
+        "discriminator_optimizer_params": {"lr": 1e-4},
+        "generator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "discriminator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "generator_grad_norm": 10,
+        "discriminator_grad_norm": 1,
+    }
+
+
+def _loader(config, use_noise_input, aux_context_window=2, n=8):
+    ds = SyntheticAudioMelDataset(
+        n=n, hop=config["hop_size"], num_mels=config["num_mels"]
+    )
+    collater = Collater(
+        batch_max_steps=config["batch_max_steps"],
+        hop_size=config["hop_size"],
+        aux_context_window=aux_context_window,
+        use_noise_input=use_noise_input,
+        rng=np.random.default_rng(0),
+    )
+    return DataLoader(
+        ds, collater, config["batch_size"], seed=0, prefetch=0
+    )
+
+
+def test_pwg_training_with_warmup_crossing(tmp_path):
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="ParallelWaveGANGenerator",
+        generator_params={
+            "layers": 4, "stacks": 2, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 16,
+            "aux_context_window": 2,
+            "upsample_params": {"upsample_scales": [4, 4, 4]},
+        },
+        discriminator_type="ParallelWaveGANDiscriminator",
+        discriminator_params={"layers": 3, "conv_channels": 8},
+        discriminator_train_start_steps=2,
+        generator_train_start_steps=0,
+    )
+    trainer = Trainer(
+        config,
+        _loader(config, use_noise_input=True),
+        eval_loader=_loader(config, use_noise_input=True, n=8),
+    )
+    trainer.run()
+    assert trainer.steps == 4
+    # crossed into adversarial training: discriminator loss was logged
+    ckpts = [f for f in os.listdir(tmp_path) if f.endswith(".ckpt")]
+    assert len(ckpts) == 1
+    preds = os.path.join(tmp_path, "predictions")
+    assert os.path.isdir(preds)
+
+
+def test_hifigan_training_with_msmpd(tmp_path):
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="HiFiGANGenerator",
+        generator_params={
+            "in_channels": 16, "channels": 32, "upsample_scales": (4, 4, 4),
+            "upsample_kernel_sizes": (8, 8, 8),
+            "resblock_kernel_sizes": (3,), "resblock_dilations": ((1, 3),),
+        },
+        discriminator_type="HiFiGANMultiScaleMultiPeriodDiscriminator",
+        discriminator_params={
+            "scales": 2,
+            "scale_discriminator_params": {
+                "channels": 8, "downsample_scales": (2, 2), "max_groups": 4,
+                "max_downsample_channels": 32,
+            },
+            "follow_official_norm": True,
+            "periods": (2, 3),
+            "period_discriminator_params": {
+                "channels": 4, "downsample_scales": (3, 1),
+                "max_downsample_channels": 16,
+            },
+        },
+        use_stft_loss=False,
+        use_mel_loss=True,
+        mel_loss_params={
+            "fs": 16000, "fft_size": 128, "hop_size": 32, "win_length": 128,
+            "num_mels": 16, "fmin": 0, "fmax": 8000, "log_base": None,
+        },
+        use_feat_match_loss=True,
+        lambda_aux=45.0,
+        lambda_feat_match=2.0,
+        generator_train_start_steps=1,
+        discriminator_train_start_steps=0,
+        train_max_steps=3,
+    )
+    trainer = Trainer(
+        config, _loader(config, use_noise_input=False, aux_context_window=0)
+    )
+    trainer.run()
+    assert trainer.steps == 3
+    # spectral-norm u must have been updated by D training
+    state = jax.device_get(trainer.state)
+    assert "spectral" in state.extra_d
+
+
+def test_multiband_melgan_training(tmp_path):
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="MelGANGenerator",
+        generator_params={
+            "in_channels": 16, "out_channels": 4, "channels": 64,
+            "upsample_scales": [4, 4], "stacks": 2, "kernel_size": 7,
+        },
+        discriminator_type="MelGANMultiScaleDiscriminator",
+        discriminator_params={
+            "scales": 2, "channels": 8, "downsample_scales": [4, 4],
+            "max_downsample_channels": 64,
+        },
+        # hop = 4*4*4subbands... full-band hop 16*4=64 == config hop
+        use_subband_stft_loss=True,
+        subband_stft_loss_params={
+            "fft_sizes": [32, 64], "hop_sizes": [8, 16],
+            "win_lengths": [24, 48],
+        },
+        use_feat_match_loss=False,
+        discriminator_train_start_steps=1,
+        train_max_steps=3,
+    )
+    trainer = Trainer(
+        config, _loader(config, use_noise_input=False, aux_context_window=0)
+    )
+    trainer.run()
+    assert trainer.steps == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="MelGANGenerator",
+        generator_params={
+            "in_channels": 16, "channels": 64, "upsample_scales": [8, 8],
+            "stacks": 1,
+        },
+        discriminator_type="MelGANDiscriminator",
+        discriminator_params={
+            "channels": 8, "downsample_scales": [4],
+            "max_downsample_channels": 32,
+        },
+        discriminator_train_start_steps=0,
+        train_max_steps=2,
+        eval_interval_steps=100,
+    )
+    trainer = Trainer(
+        config, _loader(config, use_noise_input=False, aux_context_window=0)
+    )
+    trainer.run()
+    ckpt = os.path.join(str(tmp_path), "checkpoint-2steps.ckpt")
+    assert os.path.exists(ckpt)
+
+    trainer2 = Trainer(
+        config, _loader(config, use_noise_input=False, aux_context_window=0)
+    )
+    trainer2.load_checkpoint(ckpt)
+    assert trainer2.steps == 2
+    a = jax.device_get(trainer.state.params_g)
+    b = jax.device_get(trainer2.state.params_g)
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_batch_is_sharded_over_mesh(tmp_path):
+    """The train batch must land sharded over all 8 virtual devices."""
+    from parallelwavegan_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = {"y": np.zeros((8, 64, 1), np.float32)}
+    sharded = shard_batch(mesh, batch)
+    assert len(sharded["y"].sharding.device_set) == 8
