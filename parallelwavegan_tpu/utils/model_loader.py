@@ -1,0 +1,215 @@
+"""Public inference API: load a trained model and synthesize waveforms.
+
+The analogue of the reference's `utils.load_model` + `model.inference`
+(/root/reference/parallel_wavegan/utils/utils.py:294-360,
+bin/decode.py:148-270): reads config.yml next to the checkpoint, builds the
+generator, loads weights (our msgpack checkpoints or reference torch .pkl),
+folds weight norm (remove_weight_norm analogue), registers mean/scale stats,
+and attaches PQMF synthesis for multi-band models.
+
+TPU improvement over the reference: `synthesize_batch` pads a list of mels to
+a shared bucket length and runs them as one batched jit call.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallelwavegan_tpu.layers import PQMF
+from parallelwavegan_tpu.models import get_model_class
+from parallelwavegan_tpu.utils.io import load_config, read_hdf5
+from parallelwavegan_tpu.utils.params import fold_weight_norm
+
+
+class InferenceModel:
+    """Generator + folded params + stats + (optional) PQMF."""
+
+    def __init__(self, config: Dict[str, Any], variables: Dict[str, Any],
+                 fold_norm: bool = True, dtype=None):
+        gen_params = dict(config.get("generator_params", {}))
+        # reference back-compat: fix the upsample_kernal_sizes typo
+        # (utils/utils.py:319-324)
+        if "upsample_kernal_sizes" in gen_params:
+            gen_params["upsample_kernel_sizes"] = gen_params.pop(
+                "upsample_kernal_sizes"
+            )
+        self.config = config
+        gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+        if fold_norm and gen_params.get("use_weight_norm", True):
+            variables = dict(variables)
+            variables["params"] = fold_weight_norm(variables["params"])
+            gen_params["use_weight_norm"] = False
+        from parallelwavegan_tpu.engine.build import _to_hashable
+
+        self.generator = get_model_class(gen_type)(**_to_hashable(gen_params))
+        if dtype is not None:
+            variables = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                variables,
+            )
+        self.variables = variables
+        self.dtype = dtype or jnp.float32
+        self.mean: Optional[np.ndarray] = None
+        self.scale: Optional[np.ndarray] = None
+        out_ch = gen_params.get("out_channels", 1)
+        self.pqmf = (
+            PQMF(subbands=out_ch, **config.get("pqmf_params", {}))
+            if out_ch > 1
+            else None
+        )
+        self.gen_type = gen_type
+        self.upsample_factor = self._upsample_factor(gen_params)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _upsample_factor(self, gp) -> int:
+        if self.gen_type == "ParallelWaveGANGenerator":
+            scales = (gp.get("upsample_params") or {}).get(
+                "upsample_scales", [4, 4, 4, 4]
+            )
+        else:
+            scales = gp.get("upsample_scales", [8, 8, 2, 2])
+        out = 1
+        for s in scales:
+            out *= s
+        # multi-band: PQMF synthesis expands by the subband count
+        out *= gp.get("out_channels", 1)
+        return int(out)
+
+    # ------------------------------------------------------------------
+    def register_stats(self, stats: str) -> None:
+        """Register mean/scale for de-normalization (h5 or npy)."""
+        assert stats.endswith(".h5") or stats.endswith(".npy")
+        if stats.endswith(".h5"):
+            self.mean = read_hdf5(stats, "mean").reshape(-1)
+            self.scale = read_hdf5(stats, "scale").reshape(-1)
+        else:
+            arr = np.load(stats)
+            self.mean = arr[0].reshape(-1)
+            self.scale = arr[1].reshape(-1)
+        logging.info("Successfully registered stats.")
+
+    # ------------------------------------------------------------------
+    def _forward_fn(self, shape_key):
+        if shape_key not in self._jit_cache:
+            gen = self.generator
+
+            if self.gen_type == "ParallelWaveGANGenerator":
+                def fn(variables, c, z):
+                    y = gen.apply(variables, z, c)
+                    return y
+            elif "StyleMelGAN" in self.gen_type:
+                def fn(variables, c, z):
+                    return gen.apply(variables, c, z)
+            else:
+                def fn(variables, c, z):
+                    y = gen.apply(variables, c)
+                    if self.pqmf is not None:
+                        y = self.pqmf.synthesis(y)
+                    return y
+
+            self._jit_cache[shape_key] = jax.jit(fn)
+        return self._jit_cache[shape_key]
+
+    def inference(self, c: np.ndarray, normalize_before: bool = False,
+                  rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Mel (T', C) -> wave (T, out_channels) as float32 numpy.
+
+        bucket_size=1: no tail padding, exact parity with the reference's
+        single-utterance decode.
+        """
+        return self.synthesize_batch([c], normalize_before, rng,
+                                     bucket_size=1)[0]
+
+    def synthesize_batch(
+        self,
+        cs: Sequence[np.ndarray],
+        normalize_before: bool = False,
+        rng: Optional[jax.Array] = None,
+        bucket_size: int = 64,
+    ) -> List[np.ndarray]:
+        """Batched synthesis: pad mels to a shared bucket length, one jit
+        call per bucket shape, crop outputs to true lengths."""
+        if rng is None:
+            rng = jax.random.key(0)
+        cs = [np.asarray(c, dtype=np.float32) for c in cs]
+        if normalize_before:
+            assert self.mean is not None, "register_stats first"
+            cs = [(c - self.mean) / self.scale for c in cs]
+        lengths = [len(c) for c in cs]
+        bucket = -(-max(lengths) // bucket_size) * bucket_size
+        ctx = 0
+        if self.gen_type == "ParallelWaveGANGenerator":
+            ctx = self.config.get("generator_params", {}).get(
+                "aux_context_window", 2
+            )
+        padded = np.stack(
+            [
+                np.pad(c, ((ctx, bucket - len(c) + ctx), (0, 0)), mode="edge")
+                for c in cs
+            ]
+        ).astype(self.dtype)
+        z = None
+        if self.gen_type == "ParallelWaveGANGenerator":
+            z = jax.random.normal(
+                rng,
+                (len(cs), bucket * self.upsample_factor, 1),
+                dtype=self.dtype,
+            )
+        elif "StyleMelGAN" in self.gen_type:
+            # pad mel to the noise-upsample grid (kills end-of-audio pops,
+            # reference style_melgan.py:227-238)
+            nf = self.generator.noise_upsample_factor
+            frames = (bucket - 1) // nf + 1
+            padded = np.pad(
+                padded, ((0, 0), (0, frames * nf - bucket), (0, 0)),
+                mode="edge",
+            )
+            z = jax.random.normal(
+                rng, (len(cs), 1, self.generator.in_channels),
+                dtype=self.dtype,
+            )
+        fn = self._forward_fn((padded.shape, z is not None))
+        y = np.asarray(
+            fn(self.variables, jnp.asarray(padded), z), dtype=np.float32
+        )
+        return [
+            y[i, : lengths[i] * self.upsample_factor] for i in range(len(cs))
+        ]
+
+
+def load_model(
+    checkpoint: str,
+    config: Optional[Dict[str, Any]] = None,
+    stats: Optional[str] = None,
+    fold_norm: bool = True,
+    dtype=None,
+) -> InferenceModel:
+    """Load an InferenceModel from our .ckpt or a reference torch .pkl."""
+    if config is None:
+        dirname = os.path.dirname(checkpoint)
+        config = load_config(os.path.join(dirname, "config.yml"))
+    if checkpoint.endswith(".pkl"):
+        from parallelwavegan_tpu.engine.checkpoint import (
+            load_reference_checkpoint,
+        )
+
+        variables = load_reference_checkpoint(checkpoint, config)["generator"]
+    else:
+        from parallelwavegan_tpu.engine.build import init_train_state
+
+        state, *_ = init_train_state(config, jax.random.key(0))
+        from parallelwavegan_tpu.engine.checkpoint import load_checkpoint
+
+        state = load_checkpoint(checkpoint, jax.device_get(state))
+        variables = {"params": state.params_g, **state.extra_g}
+    model = InferenceModel(config, variables, fold_norm=fold_norm, dtype=dtype)
+    if stats is not None:
+        model.register_stats(stats)
+    return model

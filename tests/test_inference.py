@@ -1,0 +1,177 @@
+"""End-to-end copy-synthesis parity: reference torch checkpoint ->
+load_model -> inference matches the reference model.inference
+(the minimum end-to-end slice of SURVEY.md section 7)."""
+
+import numpy as np
+import pytest
+
+from parallelwavegan_tpu.utils.model_loader import load_model
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ref():
+    from tests.reference_oracle import import_reference
+
+    import_reference()
+
+
+def _save_reference_ckpt(tmp_path, gen, config):
+    import yaml
+
+    path = str(tmp_path / "checkpoint-1000steps.pkl")
+    torch.save({"model": {"generator": gen.state_dict()}, "steps": 1000}, path)
+    with open(tmp_path / "config.yml", "w") as f:
+        yaml.dump(config, f)
+    return path
+
+
+def test_melgan_copy_synthesis_parity(tmp_path):
+    import parallel_wavegan.models as ref_models
+
+    gen_params = {
+        "in_channels": 20, "out_channels": 1, "channels": 64,
+        "upsample_scales": [4, 4], "stacks": 2,
+    }
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": gen_params,
+        "hop_size": 16,
+    }
+    torch.manual_seed(0)
+    ref = ref_models.MelGANGenerator(**gen_params)
+    ref.remove_weight_norm()
+    ref.apply_weight_norm()
+    ref.eval()
+    path = _save_reference_ckpt(tmp_path, ref, config)
+
+    model = load_model(path)
+    mel = np.random.default_rng(0).standard_normal((30, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.inference(torch.from_numpy(mel)).numpy()
+    out = model.inference(mel)
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_multiband_melgan_copy_synthesis_parity(tmp_path):
+    import parallel_wavegan.models as ref_models
+    from parallel_wavegan.layers import PQMF as RefPQMF
+
+    gen_params = {
+        "in_channels": 20, "out_channels": 4, "channels": 64,
+        "upsample_scales": [2, 2], "stacks": 2,
+    }
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": gen_params,
+        "hop_size": 16,
+    }
+    torch.manual_seed(1)
+    ref = ref_models.MelGANGenerator(**gen_params)
+    ref.eval()
+    ref.pqmf = RefPQMF(subbands=4)
+    path = _save_reference_ckpt(tmp_path, ref, config)
+
+    model = load_model(path)
+    mel = np.random.default_rng(1).standard_normal((24, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.inference(torch.from_numpy(mel)).numpy()
+    out = model.inference(mel)
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_pwg_copy_synthesis_shapes_and_stats(tmp_path):
+    """PWG inference draws internal noise -> compare shapes/stats, and
+    normalize_before parity of the stats path."""
+    import parallel_wavegan.models as ref_models
+
+    gen_params = {
+        "layers": 6, "stacks": 3, "residual_channels": 16,
+        "gate_channels": 32, "skip_channels": 16, "aux_channels": 20,
+        "aux_context_window": 2,
+        "upsample_params": {"upsample_scales": [4, 4]},
+    }
+    config = {
+        "generator_type": "ParallelWaveGANGenerator",
+        "generator_params": gen_params,
+        "hop_size": 16,
+    }
+    torch.manual_seed(2)
+    ref = ref_models.ParallelWaveGANGenerator(**gen_params)
+    ref.eval()
+    path = _save_reference_ckpt(tmp_path, ref, config)
+
+    stats = np.stack(
+        [np.zeros(20, np.float32), np.ones(20, np.float32)]
+    )
+    np.save(tmp_path / "stats.npy", stats)
+    model = load_model(path, stats=str(tmp_path / "stats.npy"))
+    mel = np.random.default_rng(2).standard_normal((40, 20)).astype(np.float32)
+    out = model.inference(mel, normalize_before=True)
+    assert out.shape == (40 * 16, 1)
+    assert np.isfinite(out).all()
+
+
+def test_hifigan_copy_synthesis_parity(tmp_path):
+    import parallel_wavegan.models as ref_models
+
+    gen_params = {
+        "in_channels": 20, "channels": 64, "upsample_scales": [4, 4],
+        "upsample_kernel_sizes": [8, 8], "resblock_kernel_sizes": [3],
+        "resblock_dilations": [[1, 3]],
+    }
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": gen_params,
+        "hop_size": 16,
+    }
+    torch.manual_seed(3)
+    ref = ref_models.HiFiGANGenerator(**gen_params)
+    ref.eval()
+    path = _save_reference_ckpt(tmp_path, ref, config)
+
+    model = load_model(path)
+    mel = np.random.default_rng(3).standard_normal((40, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.inference(torch.from_numpy(mel)).numpy()
+    out = model.inference(mel)
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_bucketed_synthesis(tmp_path):
+    import parallel_wavegan.models as ref_models
+
+    gen_params = {
+        "in_channels": 20, "channels": 64, "upsample_scales": [4, 4],
+        "upsample_kernel_sizes": [8, 8], "resblock_kernel_sizes": [3],
+        "resblock_dilations": [[1, 3]],
+    }
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": gen_params,
+        "hop_size": 16,
+    }
+    torch.manual_seed(4)
+    ref = ref_models.HiFiGANGenerator(**gen_params)
+    ref.eval()
+    path = _save_reference_ckpt(tmp_path, ref, config)
+    model = load_model(path)
+
+    rng = np.random.default_rng(4)
+    mels = [
+        rng.standard_normal((n, 20)).astype(np.float32) for n in (17, 33, 40)
+    ]
+    outs = model.synthesize_batch(mels, bucket_size=16)
+    for mel, out in zip(mels, outs):
+        assert out.shape == (len(mel) * 16, 1)
+        with torch.no_grad():
+            ref_out = ref.inference(torch.from_numpy(mel)).numpy()
+        # bucketed padding alters conv edge context only near the tail;
+        # interior samples must match the unpadded reference exactly
+        n_safe = out.shape[0] - 8 * 16  # generous receptive-field margin
+        np.testing.assert_allclose(
+            out[:n_safe], ref_out[:n_safe], rtol=1e-3, atol=1e-4
+        )
