@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Training CLI (behavioral parity:
+/root/reference/parallel_wavegan/bin/train.py:947-1611).
+
+Wires config -> datasets -> collater -> per-host sharded loaders ->
+engine.Trainer, with resume/--pretrain, config.yml dump, and multi-host init
+via jax.distributed (MASTER_ADDR-style rendezvous)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from parallelwavegan_tpu.datasets import AudioMelDataset, Collater
+from parallelwavegan_tpu.datasets.loader import DataLoader
+from parallelwavegan_tpu.utils.io import load_config, read_hdf5, save_config
+
+
+def build_dataset(config, rootdir):
+    fmt = config.get("format", "hdf5")
+    if fmt == "hdf5":
+        audio_query, mel_query = "*.h5", "*.h5"
+        audio_load_fn = lambda f: read_hdf5(f, "wave")  # noqa: E731
+        mel_load_fn = lambda f: read_hdf5(f, "feats")  # noqa: E731
+    elif fmt == "npy":
+        audio_query, mel_query = "*-wave.npy", "*-feats.npy"
+        audio_load_fn = np.load
+        mel_load_fn = np.load
+    else:
+        raise ValueError("support only hdf5 or npy format.")
+    hop_size = config["hop_size"]
+    aux_context_window = config.get("generator_params", {}).get(
+        "aux_context_window", 0
+    )
+    mel_length_threshold = None
+    if config.get("remove_short_samples", False):
+        mel_length_threshold = (
+            config["batch_max_steps"] // hop_size + 2 * aux_context_window
+        )
+    return AudioMelDataset(
+        root_dir=rootdir,
+        audio_query=audio_query,
+        mel_query=mel_query,
+        audio_load_fn=audio_load_fn,
+        mel_load_fn=mel_load_fn,
+        mel_length_threshold=mel_length_threshold,
+        allow_cache=config.get("allow_cache", False),
+    )
+
+
+def build_loader(config, dataset, seed, num_shards, shard_index):
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    collater = Collater(
+        batch_max_steps=config["batch_max_steps"],
+        hop_size=config["hop_size"],
+        aux_context_window=config.get("generator_params", {}).get(
+            "aux_context_window", 0
+        ),
+        use_noise_input=gen_type == "ParallelWaveGANGenerator",
+        use_duration="Duration" in gen_type,
+        rng=np.random.default_rng(seed + 1000 * shard_index),
+    )
+    return DataLoader(
+        dataset,
+        collater,
+        batch_size=config["batch_size"] // num_shards,
+        seed=seed,
+        num_shards=num_shards,
+        shard_index=shard_index,
+        prefetch=2,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train a GAN vocoder (TPU-native)."
+    )
+    parser.add_argument("--train-dumpdir", type=str, required=True)
+    parser.add_argument("--dev-dumpdir", type=str, required=True)
+    parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--resume", default="", type=str, nargs="?")
+    parser.add_argument("--pretrain", default="", type=str, nargs="?")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    import jax
+
+    from parallelwavegan_tpu.engine import Trainer
+    from parallelwavegan_tpu.parallel import init_distributed
+
+    init_distributed()
+
+    # suppress logging of non-zero processes (reference train.py:1084-1086)
+    if jax.process_index() == 0:
+        level = logging.INFO if args.verbose else logging.WARN
+    else:
+        level = logging.ERROR
+    logging.basicConfig(
+        level=level, stream=sys.stdout,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    config = load_config(args.config)
+    config.update(vars(args))
+    config["version"] = "parallelwavegan_tpu-0.1.0"
+    os.makedirs(args.outdir, exist_ok=True)
+    if jax.process_index() == 0:
+        save_config(os.path.join(args.outdir, "config.yml"), config)
+        for key, value in config.items():
+            logging.info(f"{key} = {value}")
+
+    train_dataset = build_dataset(config, args.train_dumpdir)
+    dev_dataset = build_dataset(config, args.dev_dumpdir)
+    logging.info(f"The number of training files = {len(train_dataset)}.")
+    logging.info(f"The number of development files = {len(dev_dataset)}.")
+
+    n_shards = jax.process_count()
+    train_loader = build_loader(
+        config, train_dataset, args.seed, n_shards, jax.process_index()
+    )
+    dev_loader = build_loader(
+        config, dev_dataset, args.seed + 1, 1, 0
+    )
+
+    trainer = Trainer(
+        config, train_loader, dev_loader, seed=args.seed, outdir=args.outdir
+    )
+    if args.pretrain:
+        trainer.load_checkpoint(args.pretrain, load_only_params=True)
+        logging.info(f"Successfully loaded parameters from {args.pretrain}.")
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
+        logging.info(f"Successfully resumed from {args.resume}.")
+
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,11 +52,14 @@ class DataLoader:
         else:
             idx = np.arange(n)
         # pad so every shard sees the same number of samples (like
-        # DistributedSampler's wrap-around)
-        per_shard = -(-n // self.num_shards)
+        # DistributedSampler's wrap-around), and so a tiny dataset still
+        # fills at least one batch per shard
+        per_shard = max(-(-n // self.num_shards), self.batch_size)
         total = per_shard * self.num_shards
         if total > n:
-            idx = np.concatenate([idx, idx[: total - n]])
+            idx = np.concatenate(
+                [idx, np.tile(idx, -(-total // n))[: total - n]]
+            )
         return idx[self.shard_index :: self.num_shards]
 
     def __len__(self) -> int:

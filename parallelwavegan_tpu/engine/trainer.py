@@ -107,6 +107,11 @@ class Trainer:
             if self.finish_train:
                 break
         self.epochs += 1
+        if n == 0:
+            raise RuntimeError(
+                "The training data loader produced 0 batches — dataset "
+                "smaller than batch size, or all utterances were filtered."
+            )
         logging.info(
             f"(Steps: {self.steps}) Finished {self.epochs} epoch training "
             f"({n} steps per epoch)."

@@ -1,0 +1,129 @@
+"""Host-side audio utilities for preprocessing: silence trimming, resampling,
+YIN f0 — numpy implementations of the librosa/torchyin functionality the
+reference preprocess uses (librosa/torchyin are not in this image; behavior
+mirrors /root/reference/parallel_wavegan/bin/preprocess.py:92-135,360)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _frame_rms(x: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
+    """Centered per-frame RMS (librosa.feature.rms semantics)."""
+    pad = frame_length // 2
+    xp = np.pad(x, (pad, pad))
+    n_frames = 1 + (len(xp) - frame_length) // hop_length
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length
+        + np.arange(frame_length)[None, :]
+    )
+    frames = xp[idx]
+    return np.sqrt(np.mean(frames**2, axis=1))
+
+
+def trim_silence(
+    audio: np.ndarray,
+    top_db: float = 60.0,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Trim leading/trailing silence (librosa.effects.trim semantics):
+    frames quieter than max - top_db are silence."""
+    rms = _frame_rms(audio, frame_length, hop_length)
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10) / max(rms.max(), 1e-10))
+    non_silent = np.flatnonzero(db > -top_db)
+    if len(non_silent) == 0:
+        return audio[:0], (0, 0)
+    start = int(non_silent[0] * hop_length)
+    end = int(min(len(audio), (non_silent[-1] + 1) * hop_length))
+    return audio[start:end], (start, end)
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (scipy)."""
+    if orig_sr == target_sr:
+        return audio
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(orig_sr, target_sr)
+    return resample_poly(audio, target_sr // g, orig_sr // g).astype(
+        audio.dtype
+    )
+
+
+def yin_f0(
+    audio: np.ndarray,
+    sampling_rate: int,
+    hop_size: int = 256,
+    pitch_min: float = 40.0,
+    pitch_max: float = 500.0,
+    frame_length: Optional[int] = None,
+    threshold: float = 0.1,
+) -> np.ndarray:
+    """YIN pitch per frame (de Cheveigné & Kawahara 2002); 0 = unvoiced.
+
+    Equivalent role to the reference's torchyin path
+    (bin/preprocess.py:92-131): cumulative-mean-normalized difference
+    function, absolute threshold, parabolic interpolation.
+    """
+    if frame_length is None:
+        frame_length = int(2 * sampling_rate / pitch_min)
+    tau_min = max(1, int(sampling_rate / pitch_max))
+    tau_max = min(frame_length - 1, int(sampling_rate / pitch_min))
+
+    n_frames = max(0, 1 + (len(audio) - frame_length) // hop_size)
+    f0 = np.zeros(n_frames, dtype=np.float32)
+    for i in range(n_frames):
+        frame = audio[i * hop_size : i * hop_size + frame_length].astype(
+            np.float64
+        )
+        # difference function via autocorrelation identity
+        # d(tau) = r(0) + r_tau(0) - 2*corr(tau)
+        spec = np.fft.rfft(frame, 2 * frame_length)
+        corr = np.fft.irfft(spec * np.conj(spec))[: tau_max + 1]
+        cumsq = np.concatenate([[0.0], np.cumsum(frame**2)])
+        energy_tail = cumsq[frame_length] - cumsq[: tau_max + 1]
+        d = corr[0] + energy_tail - 2 * corr
+        # cumulative mean normalized difference
+        cmndf = np.ones_like(d)
+        running = np.cumsum(d[1:])
+        cmndf[1:] = d[1:] * np.arange(1, tau_max + 1) / np.maximum(
+            running, 1e-12
+        )
+        # first tau under threshold, else global min
+        region = cmndf[tau_min : tau_max + 1]
+        below = np.flatnonzero(region < threshold)
+        if len(below) > 0:
+            tau = tau_min + below[0]
+            # walk down to local minimum
+            while tau + 1 <= tau_max and cmndf[tau + 1] < cmndf[tau]:
+                tau += 1
+        else:
+            tau = tau_min + int(np.argmin(region))
+            if region.min() >= 1.0:
+                continue  # unvoiced
+        # parabolic interpolation around tau
+        if 1 <= tau < tau_max:
+            a, b, c = cmndf[tau - 1], cmndf[tau], cmndf[tau + 1]
+            denom = a - 2 * b + c
+            shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+            tau_f = tau + np.clip(shift, -1, 1)
+        else:
+            tau_f = float(tau)
+        f0[i] = sampling_rate / tau_f
+    return f0
+
+
+def interpolate_continuous_f0(f0: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Continuous log-f0 + voiced/unvoiced flags (the reference's pyreaper
+    continuous-f0 path, bin/preprocess.py:136-185)."""
+    vuv = (f0 > 0).astype(np.float32)
+    if vuv.sum() == 0:
+        return np.zeros_like(f0), vuv
+    voiced_idx = np.flatnonzero(f0 > 0)
+    cont = np.interp(np.arange(len(f0)), voiced_idx, f0[voiced_idx])
+    return np.log(np.maximum(cont, 1e-10)).astype(np.float32), vuv

@@ -1,0 +1,176 @@
+"""Integration test: full CLI pipeline on a tiny synthetic corpus — the
+yesno-recipe substitute (SURVEY.md section 4 tier 3).
+
+wav files -> preprocess -> compute-statistics -> normalize -> train (3 steps)
+-> decode, all through the CLI mains.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from parallelwavegan_tpu.utils.io import read_hdf5, read_wav, write_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    sr = 8000
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        t = np.arange(sr)  # 1 s utterances
+        wave = 0.5 * np.sin(2 * np.pi * (100 + 30 * i) * t / sr)
+        wave += 0.01 * rng.standard_normal(sr)
+        write_wav(str(wav_dir / f"utt{i}.wav"), wave.astype(np.float32), sr)
+    config = {
+        "sampling_rate": sr,
+        "fft_size": 256,
+        "hop_size": 64,
+        "win_length": None,
+        "window": "hann",
+        "num_mels": 40,
+        "fmin": 0,
+        "fmax": 4000,
+        "global_gain_scale": 1.0,
+        "trim_silence": False,
+        "format": "hdf5",
+        "generator_type": "ParallelWaveGANGenerator",
+        "generator_params": {
+            "layers": 4, "stacks": 2, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 40,
+            "aux_context_window": 2,
+            "upsample_params": {"upsample_scales": [4, 4, 4]},
+        },
+        "discriminator_type": "ParallelWaveGANDiscriminator",
+        "discriminator_params": {"layers": 3, "conv_channels": 8},
+        "stft_loss_params": {
+            "fft_sizes": [64, 128], "hop_sizes": [16, 32],
+            "win_lengths": [48, 96],
+        },
+        "lambda_adv": 4.0,
+        "batch_size": 8,
+        "batch_max_steps": 512,
+        "remove_short_samples": False,
+        "allow_cache": False,
+        "generator_optimizer_params": {"lr": 1e-4},
+        "generator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "generator_grad_norm": 10,
+        "discriminator_optimizer_params": {"lr": 5e-5},
+        "discriminator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "discriminator_grad_norm": 1,
+        "generator_train_start_steps": 0,
+        "discriminator_train_start_steps": 1,
+        "train_max_steps": 3,
+        "save_interval_steps": 1000,
+        "eval_interval_steps": 1000,
+        "log_interval_steps": 2,
+    }
+    config_path = root / "config.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+    return root, wav_dir, config_path, config
+
+
+def _run_main(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module.main()
+
+
+def test_full_pipeline(corpus, monkeypatch, tmp_path):
+    root, wav_dir, config_path, config = corpus
+    from parallelwavegan_tpu.bin import (
+        compute_statistics,
+        decode,
+        normalize,
+        preprocess,
+        train,
+    )
+
+    dump_raw = str(root / "dump_raw")
+    _run_main(
+        preprocess,
+        ["--rootdir", str(wav_dir), "--dumpdir", dump_raw,
+         "--config", str(config_path)],
+        monkeypatch,
+    )
+    h5s = sorted(os.listdir(dump_raw))
+    assert len(h5s) == 8
+    wave = read_hdf5(os.path.join(dump_raw, h5s[0]), "wave")
+    feats = read_hdf5(os.path.join(dump_raw, h5s[0]), "feats")
+    assert len(wave) == len(feats) * 64  # alignment invariant
+
+    stats_dir = str(root / "stats")
+    _run_main(
+        compute_statistics,
+        ["--rootdir", dump_raw, "--dumpdir", stats_dir,
+         "--config", str(config_path)],
+        monkeypatch,
+    )
+    assert os.path.exists(os.path.join(stats_dir, "stats.h5"))
+
+    dump_norm = str(root / "dump_norm")
+    _run_main(
+        normalize,
+        ["--rootdir", dump_raw, "--dumpdir", dump_norm,
+         "--stats", os.path.join(stats_dir, "stats.h5"),
+         "--config", str(config_path)],
+        monkeypatch,
+    )
+    feats_norm = read_hdf5(
+        os.path.join(dump_norm, h5s[0]), "feats"
+    )
+    assert feats_norm.shape == feats.shape
+    assert abs(feats_norm.mean()) < abs(feats.mean()) + 1.0
+
+    outdir = str(root / "exp")
+    _run_main(
+        train,
+        ["--train-dumpdir", dump_norm, "--dev-dumpdir", dump_norm,
+         "--outdir", outdir, "--config", str(config_path)],
+        monkeypatch,
+    )
+    ckpts = [f for f in os.listdir(outdir) if f.endswith(".ckpt")]
+    assert len(ckpts) == 1
+    assert os.path.exists(os.path.join(outdir, "config.yml"))
+
+    decode_dir = str(root / "decoded")
+    _run_main(
+        decode,
+        ["--dumpdir", dump_norm, "--outdir", decode_dir,
+         "--checkpoint", os.path.join(outdir, ckpts[0])],
+        monkeypatch,
+    )
+    gen_wavs = sorted(os.listdir(decode_dir))
+    assert len(gen_wavs) == 8
+    wave, sr = read_wav(os.path.join(decode_dir, gen_wavs[0]))
+    assert sr == 8000
+    assert len(wave) == len(feats) * 64
+
+
+def test_resume_training(corpus, monkeypatch):
+    root, wav_dir, config_path, config = corpus
+    from parallelwavegan_tpu.bin import train
+
+    outdir = str(root / "exp")
+    ckpt = os.path.join(outdir, "checkpoint-3steps.ckpt")
+    assert os.path.exists(ckpt)
+    cfg2 = dict(config)
+    cfg2["train_max_steps"] = 5
+    config2_path = root / "config2.yml"
+    with open(config2_path, "w") as f:
+        yaml.dump(cfg2, f)
+    outdir2 = str(root / "exp2")
+    _run_main(
+        train,
+        ["--train-dumpdir", str(root / "dump_norm"),
+         "--dev-dumpdir", str(root / "dump_norm"),
+         "--outdir", outdir2, "--config", str(config2_path),
+         "--resume", ckpt],
+        monkeypatch,
+    )
+    assert os.path.exists(os.path.join(outdir2, "checkpoint-5steps.ckpt"))
