@@ -44,6 +44,8 @@ def main():
 
     if (args.feats_scp is None) == (args.dumpdir is None):
         raise ValueError("Please specify either --dumpdir or --feats-scp.")
+    if args.normalize_before and args.stats is None:
+        raise ValueError("--normalize-before requires --stats.")
     if args.feats_scp is None:
         cfg = config or load_config(
             os.path.join(os.path.dirname(args.checkpoint), "config.yml")

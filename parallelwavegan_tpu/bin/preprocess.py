@@ -36,18 +36,14 @@ def logmelfilterbank(
     eps=1e-10,
     log_base=10.0,
 ):
-    """Numpy log-mel (matches ops.spectral.log_mel_spectrogram; kept as the
-    host-side entry used by this CLI)."""
-    import jax.numpy as jnp
+    """Host-side numpy log-mel (no jit/device work — preprocessing handles
+    variable-length utterances that would force per-shape recompiles)."""
+    from parallelwavegan_tpu.ops.spectral import log_mel_spectrogram_numpy
 
-    from parallelwavegan_tpu.ops.spectral import log_mel_spectrogram
-
-    mel = log_mel_spectrogram(
-        jnp.asarray(audio, dtype=jnp.float32), sampling_rate, fft_size,
-        hop_size, win_length, window, num_mels, fmin, fmax, eps, log_base,
-        method="fft",
+    return log_mel_spectrogram_numpy(
+        audio, sampling_rate, fft_size, hop_size, win_length, window,
+        num_mels, fmin, fmax, eps, log_base,
     )
-    return np.asarray(mel)
 
 
 def main():

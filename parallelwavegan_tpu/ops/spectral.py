@@ -123,6 +123,46 @@ def stft_magnitude(
     return jnp.sqrt(jnp.clip(power, min=power_clamp_min))
 
 
+def log_mel_spectrogram_numpy(
+    audio: np.ndarray,
+    sampling_rate: int,
+    fft_size: int = 1024,
+    hop_size: int = 256,
+    win_length: Optional[int] = None,
+    window: str = "hann",
+    num_mels: int = 80,
+    fmin: Optional[float] = None,
+    fmax: Optional[float] = None,
+    eps: float = 1e-10,
+    log_base: Optional[float] = 10.0,
+) -> np.ndarray:
+    """Pure-numpy log-mel for host-side preprocessing: no jit, no device,
+    no per-length recompiles (variable-length utterances). Matches
+    log_mel_spectrogram(method='fft') numerics."""
+    if win_length is None:
+        win_length = fft_size
+    x = np.asarray(audio, dtype=np.float32)
+    p = fft_size // 2
+    x = np.pad(x, (p, p), mode="reflect")
+    n_frames = 1 + (len(x) - fft_size) // hop_size
+    idx = (
+        np.arange(n_frames)[:, None] * hop_size
+        + np.arange(fft_size)[None, :]
+    )
+    frames = x[idx] * pad_center(
+        get_window(window, win_length, np.float32), fft_size
+    )
+    spec = np.fft.rfft(frames, axis=-1)
+    amp = np.abs(spec)
+    fmin = 0.0 if fmin is None else fmin
+    fmax = sampling_rate / 2.0 if fmax is None else fmax
+    melmat = mel_filter_bank(sampling_rate, fft_size, num_mels, fmin, fmax)
+    mel = np.maximum(amp @ melmat.T, eps)
+    if log_base is None:
+        return np.log(mel)
+    return np.log(mel) / math.log(log_base)
+
+
 def log_mel_spectrogram(
     x: jnp.ndarray,
     sampling_rate: int,

@@ -203,11 +203,13 @@ def load_model(
         variables = load_reference_checkpoint(checkpoint, config)["generator"]
     else:
         from parallelwavegan_tpu.engine.build import init_train_state
-
-        state, *_ = init_train_state(config, jax.random.key(0))
         from parallelwavegan_tpu.engine.checkpoint import load_checkpoint
 
-        state = load_checkpoint(checkpoint, jax.device_get(state))
+        # abstract template: never materializes params or compiles on device
+        template = jax.eval_shape(
+            lambda: init_train_state(config, jax.random.key(0))[0]
+        )
+        state = load_checkpoint(checkpoint, template)
         variables = {"params": state.params_g, **state.extra_g}
     model = InferenceModel(config, variables, fold_norm=fold_norm, dtype=dtype)
     if stats is not None:
