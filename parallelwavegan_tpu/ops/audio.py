@@ -81,31 +81,31 @@ def yin_f0(
         frame = audio[i * hop_size : i * hop_size + frame_length].astype(
             np.float64
         )
-        # difference function via autocorrelation identity
-        # d(tau) = r(0) + r_tau(0) - 2*corr(tau)
+        # difference function via autocorrelation identity:
+        # d(tau) = sum_{j<W-tau} x_j^2 + sum_{j>=tau} x_j^2 - 2*corr(tau)
         spec = np.fft.rfft(frame, 2 * frame_length)
         corr = np.fft.irfft(spec * np.conj(spec))[: tau_max + 1]
         cumsq = np.concatenate([[0.0], np.cumsum(frame**2)])
-        energy_tail = cumsq[frame_length] - cumsq[: tau_max + 1]
-        d = corr[0] + energy_tail - 2 * corr
+        taus = np.arange(tau_max + 1)
+        head = cumsq[frame_length - taus]
+        tail = cumsq[frame_length] - cumsq[taus]
+        d = head + tail - 2 * corr
         # cumulative mean normalized difference
         cmndf = np.ones_like(d)
         running = np.cumsum(d[1:])
         cmndf[1:] = d[1:] * np.arange(1, tau_max + 1) / np.maximum(
             running, 1e-12
         )
-        # first tau under threshold, else global min
+        # first tau under threshold; no dip below threshold -> unvoiced
+        # (torchyin semantics: f0 = 0)
         region = cmndf[tau_min : tau_max + 1]
         below = np.flatnonzero(region < threshold)
-        if len(below) > 0:
-            tau = tau_min + below[0]
-            # walk down to local minimum
-            while tau + 1 <= tau_max and cmndf[tau + 1] < cmndf[tau]:
-                tau += 1
-        else:
-            tau = tau_min + int(np.argmin(region))
-            if region.min() >= 1.0:
-                continue  # unvoiced
+        if len(below) == 0:
+            continue
+        tau = tau_min + below[0]
+        # walk down to the local minimum
+        while tau + 1 <= tau_max and cmndf[tau + 1] < cmndf[tau]:
+            tau += 1
         # parabolic interpolation around tau
         if 1 <= tau < tau_max:
             a, b, c = cmndf[tau - 1], cmndf[tau], cmndf[tau + 1]
