@@ -89,6 +89,7 @@ class Trainer:
             return
         step_fn = self.train_step_factory(train_g, use_adv, train_d)
         batch = shard_batch(self.mesh, batch)
+        self._maybe_profile()
         self.state, metrics = step_fn(self.state, batch, self.rng)
         for k, v in metrics.items():
             self.total_train_loss[f"train/{k}"] += float(v)
@@ -118,7 +119,15 @@ class Trainer:
         )
 
     def run(self):
+        """Run training; config["profile_dir"] (or --profile-dir) captures a
+        jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+        viewable in TensorBoard/XProf — a first-class flag the reference
+        lacks (SURVEY.md section 5)."""
         self.tic = time.time()
+        self._profile_dir = self.config.get("profile_dir")
+        self._profile_start = self.config.get("profile_start_step", 10)
+        self._profile_steps = self.config.get("profile_num_steps", 5)
+        self._profiling = False
         try:
             while not self.finish_train:
                 self._train_epoch()
@@ -130,6 +139,23 @@ class Trainer:
                     )
                 )
         logging.info(f"Finished training ({self.steps} steps).")
+
+    # ------------------------------------------------------------------
+    def _maybe_profile(self):
+        if not getattr(self, "_profile_dir", None):
+            return
+        import jax.profiler
+
+        if not self._profiling and self.steps == self._profile_start:
+            jax.profiler.start_trace(self._profile_dir)
+            self._profiling = True
+            logging.info(f"profiler trace started -> {self._profile_dir}")
+        elif self._profiling and self.steps >= (
+            self._profile_start + self._profile_steps
+        ):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info("profiler trace stopped.")
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str):

@@ -1,0 +1,161 @@
+"""Tooling tests: checkpoint converter, export, launcher, pretrained
+registry, kaldi readers."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_convert_reference_checkpoint_roundtrip(tmp_path, monkeypatch):
+    torch = pytest.importorskip("torch")
+    from tests.reference_oracle import import_reference
+
+    import_reference()
+    import parallel_wavegan.models as ref_models
+    import yaml
+
+    gen_params = {
+        "in_channels": 20, "channels": 64, "upsample_scales": [4, 4],
+        "upsample_kernel_sizes": [8, 8], "resblock_kernel_sizes": [3],
+        "resblock_dilations": [[1, 3]],
+    }
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": gen_params,
+        "discriminator_type": "ParallelWaveGANDiscriminator",
+        "discriminator_params": {"layers": 3, "conv_channels": 8},
+        "hop_size": 16, "num_mels": 20, "batch_max_steps": 256,
+        "sampling_rate": 8000,
+    }
+    torch.manual_seed(0)
+    ref = ref_models.HiFiGANGenerator(**gen_params)
+    ref.eval()
+    pkl = str(tmp_path / "checkpoint-500steps.pkl")
+    torch.save({"model": {"generator": ref.state_dict()}, "steps": 500}, pkl)
+    with open(tmp_path / "config.yml", "w") as f:
+        yaml.dump(config, f)
+
+    from parallelwavegan_tpu.bin import convert_checkpoint
+
+    outdir = str(tmp_path / "converted")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prog", "--checkpoint", pkl, "--outdir", outdir],
+    )
+    convert_checkpoint.main()
+    out = os.path.join(outdir, "checkpoint-500steps.ckpt")
+    assert os.path.exists(out)
+
+    # converted checkpoint must synthesize identically to the .pkl path
+    from parallelwavegan_tpu.utils.model_loader import load_model
+
+    mel = np.random.default_rng(0).standard_normal((20, 20)).astype(np.float32)
+    y_pkl = load_model(pkl, config).inference(mel)
+    y_ckpt = load_model(out).inference(mel)
+    np.testing.assert_allclose(y_pkl, y_ckpt, rtol=1e-5, atol=1e-6)
+
+
+def test_export_generator_roundtrip(tmp_path):
+    import yaml
+
+    from parallelwavegan_tpu.models import MelGANGenerator
+    from parallelwavegan_tpu.utils.export import export_generator, load_exported
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": {
+            "in_channels": 20, "channels": 64, "upsample_scales": [4, 4],
+            "stacks": 1, "use_weight_norm": False,
+        },
+        "num_mels": 20,
+    }
+    gen = MelGANGenerator(**{**config["generator_params"],
+                             "upsample_scales": (4, 4)})
+    mel = jnp.zeros((1, 16, 20))
+    variables = gen.init({"params": jax.random.key(0)}, mel)
+    model = InferenceModel(config, variables, fold_norm=False)
+
+    blob = export_generator(model, batch_size=1, num_frames=16)
+    assert len(blob) > 0
+    fn = load_exported(blob)
+    y = fn(np.zeros((1, 16, 20), np.float32))
+    out = y[0] if isinstance(y, (tuple, list)) else y
+    assert np.asarray(out).shape == (1, 16 * 16, 1)
+
+
+def test_launcher_spawns_processes(tmp_path):
+    script = tmp_path / "echo_rank.py"
+    script.write_text(
+        "import os, sys\n"
+        "print('RANK', os.environ['RANK'], 'WORLD', os.environ['WORLD_SIZE'])\n"
+    )
+    result = subprocess.run(
+        [sys.executable, "-m", "parallelwavegan_tpu.distributed.launch",
+         "--nproc_per_node", "2", str(script)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert result.returncode == 0, result.stderr
+    assert "RANK 0 WORLD 2" in result.stdout
+    assert "RANK 1 WORLD 2" in result.stdout
+
+
+def test_pretrained_registry(tmp_path, monkeypatch):
+    from parallelwavegan_tpu.utils import pretrained
+
+    assert "ljspeech_hifigan.v1" in pretrained.PRETRAINED_MODEL_LIST
+    with pytest.raises(KeyError):
+        pretrained.download_pretrained_model("not_a_tag")
+    monkeypatch.setenv("PWG_TPU_CACHE", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        pretrained.download_pretrained_model("ljspeech_hifigan.v1")
+    tag_dir = tmp_path / "ljspeech_hifigan.v1"
+    tag_dir.mkdir()
+    (tag_dir / "checkpoint-2500000steps.pkl").write_bytes(b"x")
+    path = pretrained.download_pretrained_model("ljspeech_hifigan.v1")
+    assert path.endswith(".pkl")
+
+
+def test_kaldi_ark_reader(tmp_path):
+    """Write a kaldi binary matrix by hand and read it back."""
+    import struct
+
+    from parallelwavegan_tpu.utils.kaldiio_lite import ArkScpReader
+
+    mat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    ark = tmp_path / "feats.ark"
+    with open(ark, "wb") as f:
+        f.write(b"utt1 ")
+        offset = f.tell()
+        f.write(b"\x00B")
+        f.write(b"FM ")
+        f.write(b"\x04" + struct.pack("<i", 3))
+        f.write(b"\x04" + struct.pack("<i", 4))
+        f.write(mat.tobytes())
+    scp = tmp_path / "feats.scp"
+    scp.write_text(f"utt1 {ark}:{offset}\n")
+    reader = ArkScpReader(str(scp))
+    np.testing.assert_array_equal(reader["utt1"], mat)
+
+
+def test_wav_scp_and_segments(tmp_path):
+    from parallelwavegan_tpu.utils.io import write_wav
+    from parallelwavegan_tpu.utils.kaldiio_lite import WavScpReader
+
+    sr = 8000
+    wave = np.linspace(-0.5, 0.5, sr).astype(np.float32)
+    write_wav(str(tmp_path / "a.wav"), wave, sr)
+    (tmp_path / "wav.scp").write_text(f"rec1 {tmp_path}/a.wav\n")
+    (tmp_path / "segments").write_text("seg1 rec1 0.25 0.75\n")
+    reader = WavScpReader(str(tmp_path / "wav.scp"),
+                          str(tmp_path / "segments"))
+    seg, rate = reader["seg1"]
+    assert rate == sr
+    assert len(seg) == sr // 2
