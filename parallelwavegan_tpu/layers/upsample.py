@@ -2,10 +2,18 @@
 /root/reference/parallel_wavegan/layers/upsample.py:16-194).
 
 The reference treats the mel as a 1-channel 2D image (B, 1, C, T) and
-interleaves nearest-neighbor stretch with smoothing Conv2d. Here the mel stays
-channels-last (B, T, C); the stretch is a time-axis repeat and the smoothing
-conv is a 2D conv over (freq, time) with a single in/out channel, expressed in
-NHWC so XLA keeps the layout.
+interleaves nearest-neighbor stretch with smoothing Conv2d. A literal NHWC
+translation keeps a trailing size-1 channel dim that TPU pads to 128 lanes
+(128x memory blowup — a (8, 80, 131072, 1) bf16 intermediate would be 21 GB).
+
+Instead each stretch+conv stage is evaluated as a *polyphase filter* in
+channels-last (B, T, C): output sample t = u*scale + p depends on at most 3
+coarse frames (u-1, u, u+1 — or u-2..u causal), with per-phase weights
+W[p, j] = sum of the conv taps that hit coarse frame j at phase p. The whole
+stage is 3 fused multiply-adds over (B, T0, scale, C) with channels on
+lanes — one memory pass, no image layout. Parameters are identical to the
+reference's Conv2d (kernel (freq_k, 2*scale+1, 1, 1), mean-init, weight
+norm), so checkpoints import unchanged.
 """
 
 from __future__ import annotations
@@ -13,22 +21,80 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from parallelwavegan_tpu.layers.common import (
     Conv1d,
-    Conv2d,
+    _ConvBase,
     get_activation,
     kaiming_normal_relu_init,
     mean_filter_init,
     zeros_init,
 )
-from parallelwavegan_tpu.ops.conv import upsample_nearest_time
+
+
+def _polyphase_matrix(scale: int, kt: int, tp: int, n_taps: int,
+                      j_start: int) -> np.ndarray:
+    """0/1 matrix M (scale*n_taps, kt) with W = M @ k_time.
+
+    Output t = u*scale + p equals sum_dt k[dt] * stretched[t + dt - tp] where
+    stretched[m] = coarse[m // scale]; tap j covers coarse frame u + j_start
+    + j, i.e. the dt with (t + dt - tp) // scale == u + j_start + j.
+    """
+    M = np.zeros((scale * n_taps, kt), dtype=np.float32)
+    for p in range(scale):
+        for j in range(n_taps):
+            q = j_start + j  # coarse frame offset relative to u
+            lo = q * scale + tp - p
+            hi = lo + scale - 1
+            for dt in range(max(lo, 0), min(hi, kt - 1) + 1):
+                M[p * n_taps + j, dt] = 1.0
+    return M
+
+
+class _PolyphaseSmoothingConv(_ConvBase):
+    """The reference's 1-channel smoothing Conv2d, evaluated polyphase.
+
+    Parameter layout matches Conv2d: kernel (freq_k, 2*scale+1, 1, 1) with
+    mean-filter init and optional weight norm (so torch checkpoints map 1:1).
+    """
+
+    scale: int
+    freq_axis_kernel_size: int = 1
+    use_causal_conv: bool = False
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, c, deterministic: bool = True):
+        fk = self.freq_axis_kernel_size
+        s = self.scale
+        kt = 2 * s + 1
+        kernel = self._kernel(
+            (fk, kt, 1, 1), mean_filter_init, self.use_weight_norm, False,
+            deterministic,
+        )[..., 0, 0]  # (fk, kt)
+        tp = 2 * s if self.use_causal_conv else s
+        j_start = -2 if self.use_causal_conv else -1
+        n_taps = 3
+        M = jnp.asarray(_polyphase_matrix(s, kt, tp, n_taps, j_start))
+        W = (kernel @ M.T).reshape(fk, s, n_taps)  # (fk, scale, taps)
+
+        B, T0, C = c.shape
+        fp = (fk - 1) // 2
+        pl_, pr = (-j_start, n_taps - 1 + j_start)  # coarse zero pad
+        cpad = jnp.pad(c, ((0, 0), (pl_, pr), (fp, fp)))
+        out = jnp.zeros((B, T0, s, C), c.dtype)
+        for df in range(fk):
+            for j in range(n_taps):
+                view = cpad[:, j : j + T0, df : df + C]
+                out = out + view[:, :, None, :] * W[df, :, j][None, None, :, None]
+        return out.reshape(B, T0 * s, C)
 
 
 class UpsampleNetwork(nn.Module):
     """Per scale s: nearest time-stretch x s, then (freq_k, 2s+1) mean-init
-    bias-free Conv2d smoothing."""
+    bias-free Conv2d smoothing — fused into one polyphase stage."""
 
     upsample_scales: Sequence[int]
     nonlinear_activation: Optional[str] = None
@@ -41,6 +107,7 @@ class UpsampleNetwork(nn.Module):
     @nn.compact
     def __call__(self, c, deterministic: bool = True):
         assert self.interpolate_mode == "nearest"
+        assert (self.freq_axis_kernel_size - 1) % 2 == 0
         act = (
             get_activation(
                 self.nonlinear_activation, self.nonlinear_activation_params
@@ -48,32 +115,18 @@ class UpsampleNetwork(nn.Module):
             if self.nonlinear_activation is not None
             else None
         )
-        # (B, T, C) -> NHWC image (B, C_freq, T, 1)
-        x = jnp.transpose(c, (0, 2, 1))[..., None]
+        x = c
         for i, scale in enumerate(self.upsample_scales):
-            # stretch along time (W axis)
-            B, F, T, _ = x.shape
-            x = jnp.broadcast_to(
-                x[:, :, :, None, :], (B, F, T, scale, 1)
-            ).reshape(B, F, T * scale, 1)
-            assert (self.freq_axis_kernel_size - 1) % 2 == 0
-            fp = (self.freq_axis_kernel_size - 1) // 2
-            tp = scale * 2 if self.use_causal_conv else scale
-            T_now = x.shape[2]
-            x = Conv2d(
-                1,
-                kernel_size=(self.freq_axis_kernel_size, scale * 2 + 1),
-                padding=(fp, tp),
-                bias=False,
+            x = _PolyphaseSmoothingConv(
+                scale=scale,
+                freq_axis_kernel_size=self.freq_axis_kernel_size,
+                use_causal_conv=self.use_causal_conv,
                 use_weight_norm=self.use_weight_norm,
-                kernel_init=mean_filter_init,
                 name=f"conv_{i}",
             )(x, deterministic)
-            if self.use_causal_conv:
-                x = x[:, :, :T_now, :]
             if act is not None:
                 x = act(x)
-        return jnp.transpose(x[..., 0], (0, 2, 1))  # (B, T', C)
+        return x
 
 
 class ConvInUpsampleNetwork(nn.Module):

@@ -73,6 +73,49 @@ class ParallelWaveGANGenerator(nn.Module):
         dils = [2 ** (i % lpc) for i in range(self.layers)]
         return (self.kernel_size - 1) * sum(dils) + 1
 
+    def make_upsample_module(self, parent=None):
+        """Construct the conditioning upsample submodule (name=upsample_net).
+
+        Used by `__call__` and by the fused Pallas inference path
+        (ops/pallas/pwg_infer.py), which runs it standalone via
+        `.apply({"params": params["upsample_net"]}, c)` (parent=None detaches
+        it from this module's scope).
+        """
+        up_params = _frozen(
+            self.upsample_params, {"upsample_scales": [4, 4, 4, 4]}
+        )
+        up_params["use_causal_conv"] = self.use_causal_conv
+        # the reference mutates upsample_params in place with these keys
+        # (models/parallel_wavegan.py:96-103); tolerate configs carrying them
+        up_params.pop("aux_channels", None)
+        up_params.pop("aux_context_window", None)
+        if self.upsample_net == "ConvInUpsampleNetwork":
+            return ConvInUpsampleNetwork(
+                aux_channels=self.aux_channels,
+                aux_context_window=self.aux_context_window,
+                use_weight_norm=self.use_weight_norm,
+                name="upsample_net",
+                parent=parent,
+                **up_params,
+            )
+        elif self.upsample_net == "UpsampleNetwork":
+            return UpsampleNetwork(
+                use_weight_norm=self.use_weight_norm,
+                name="upsample_net",
+                parent=parent,
+                **up_params,
+            )
+        elif self.upsample_net == "MelGANGenerator":
+            from parallelwavegan_tpu.models.melgan import MelGANGenerator
+
+            assert self.aux_context_window == 0
+            up_params["use_weight_norm"] = False
+            up_params["use_final_nonlinear_activation"] = False
+            return MelGANGenerator(
+                name="upsample_net", parent=parent, **up_params
+            )
+        raise ValueError(f"unknown upsample_net: {self.upsample_net}")
+
     @nn.compact
     def __call__(self, z, c, deterministic: bool = True):
         """z (B, T, in_channels) noise; c (B, T'(+2*ctx), aux) mel.
@@ -85,39 +128,7 @@ class ParallelWaveGANGenerator(nn.Module):
             bias_init=zeros_init,
         )
         if c is not None and self.upsample_conditional_features:
-            up_params = _frozen(
-                self.upsample_params, {"upsample_scales": [4, 4, 4, 4]}
-            )
-            up_params["use_causal_conv"] = self.use_causal_conv
-            # the reference mutates upsample_params in place with these keys
-            # (models/parallel_wavegan.py:96-103); tolerate configs carrying them
-            up_params.pop("aux_channels", None)
-            up_params.pop("aux_context_window", None)
-            if self.upsample_net == "ConvInUpsampleNetwork":
-                c = ConvInUpsampleNetwork(
-                    aux_channels=self.aux_channels,
-                    aux_context_window=self.aux_context_window,
-                    use_weight_norm=self.use_weight_norm,
-                    name="upsample_net",
-                    **up_params,
-                )(c, deterministic)
-            elif self.upsample_net == "UpsampleNetwork":
-                c = UpsampleNetwork(
-                    use_weight_norm=self.use_weight_norm,
-                    name="upsample_net",
-                    **up_params,
-                )(c, deterministic)
-            elif self.upsample_net == "MelGANGenerator":
-                from parallelwavegan_tpu.models.melgan import MelGANGenerator
-
-                assert self.aux_context_window == 0
-                up_params["use_weight_norm"] = False
-                up_params["use_final_nonlinear_activation"] = False
-                c = MelGANGenerator(name="upsample_net", **up_params)(
-                    c, deterministic
-                )
-            else:
-                raise ValueError(f"unknown upsample_net: {self.upsample_net}")
+            c = self.make_upsample_module(parent=self)(c, deterministic)
             assert c.shape[1] == z.shape[1], (c.shape, z.shape)
 
         x = Conv1d(

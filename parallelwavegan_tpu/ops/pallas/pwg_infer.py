@@ -1,0 +1,92 @@
+"""Fused Parallel WaveGAN inference: upsample (XLA) + WaveNet stack (Pallas).
+
+Replaces the per-layer XLA execution of `ParallelWaveGANGenerator.__call__`
+with the fused `wavenet_stack` kernel for the 30-layer hot loop; the
+upsample network, first conv, and output tail are single cheap matmuls/convs
+that stay on the XLA path. Output parity with the flax forward is exact up
+to accumulation order (tested in tests/test_pallas_kernels.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from parallelwavegan_tpu.ops.pallas.wavenet_stack import (
+    fold_weight_norm,
+    fuse_wavenet_stack_params,
+    wavenet_stack,
+    wavenet_stack_reference,
+)
+
+
+def supports_fused_inference(gen) -> bool:
+    """The kernel covers the reference PWG configuration space that matters:
+    kernel_size 3, non-causal, no dropout, conditioned."""
+    return (
+        gen.kernel_size == 3
+        and not gen.use_causal_conv
+        and gen.dropout == 0.0
+        and gen.aux_channels > 0
+        and gen.layers % gen.stacks == 0
+    )
+
+
+def _conv1x1(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    k = fold_weight_norm(p)[0].astype(x.dtype)  # (Cin, Cout)
+    y = jnp.dot(x, k, preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def pwg_fused_forward(
+    gen,
+    variables: Dict[str, Any],
+    z: jnp.ndarray,
+    c: Optional[jnp.ndarray],
+    *,
+    group_size: Optional[int] = None,
+    chunk: int = 8192,
+    use_kernel: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched fused forward: z (B, T, 1), c (B, T'+2*ctx, A) -> (B, T, out).
+
+    `gen` is a ParallelWaveGANGenerator module definition (unbound);
+    `variables` its params (weight-normed or folded — both handled).
+    Groups default to one dilation cycle so every kernel call has the same
+    halo (sum of one cycle's dilations).
+    """
+    assert supports_fused_inference(gen), "config not supported by fused path"
+    p = variables["params"]
+    if c is not None and gen.upsample_conditional_features:
+        up = gen.make_upsample_module()
+        c = up.apply({"params": p["upsample_net"]}, c)
+        assert c.shape[1] == z.shape[1], (c.shape, z.shape)
+    x = _conv1x1(p["first_conv"], z)
+
+    L = gen.layers
+    lpc = L // gen.stacks
+    dils = [2 ** (i % lpc) for i in range(L)]
+    if group_size is None:
+        group_size = lpc if lpc <= 10 else 10
+    skip_total = None
+    for g0 in range(0, L, group_size):
+        idx = list(range(g0, min(g0 + group_size, L)))
+        w = fuse_wavenet_stack_params(p, idx)
+        w = jax.tree.map(lambda a: a.astype(x.dtype), w)
+        d = tuple(dils[i] for i in idx)
+        if use_kernel:
+            x, sk = wavenet_stack(x, c, w, d, chunk=chunk, interpret=interpret)
+        else:
+            x, sk = wavenet_stack_reference(x, c, w, d)
+        skip_total = sk if skip_total is None else skip_total + sk
+
+    xs = (skip_total * math.sqrt(1.0 / L)).astype(x.dtype)
+    x = jax.nn.relu(xs)
+    x = jax.nn.relu(_conv1x1(p["last_conv_0"], x))
+    return _conv1x1(p["last_conv_1"], x)

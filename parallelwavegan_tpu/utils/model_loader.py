@@ -101,9 +101,24 @@ class InferenceModel:
             gen = self.generator
 
             if self.gen_type == "ParallelWaveGANGenerator":
-                def fn(variables, c, z):
-                    y = gen.apply(variables, z, c)
-                    return y
+                from parallelwavegan_tpu.ops.pallas.pwg_infer import (
+                    pwg_fused_forward,
+                    supports_fused_inference,
+                )
+
+                use_fused = self.config.get("inference_fused_wavenet", "auto")
+                if use_fused == "auto":
+                    use_fused = (
+                        jax.default_backend() not in ("cpu",)
+                        and supports_fused_inference(gen)
+                    )
+                if use_fused:
+                    def fn(variables, c, z):
+                        return pwg_fused_forward(gen, variables, z, c)
+                else:
+                    def fn(variables, c, z):
+                        y = gen.apply(variables, z, c)
+                        return y
             elif "StyleMelGAN" in self.gen_type:
                 def fn(variables, c, z):
                     return gen.apply(variables, c, z)
