@@ -1,13 +1,13 @@
-"""Benchmark: HiFiGAN V1 batched copy-synthesis throughput on one chip.
+"""Benchmark: Parallel WaveGAN V1 copy-synthesis throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: synthesized audio-seconds per wall-second per chip (22.05 kHz,
-BASELINE.json), bf16 inference (the idiomatic TPU serving dtype), batch=128
-x 5.9 s utterances. Baseline: the reference publishes no HiFiGAN RTF; the
-closest published number is MelGAN decode RTF 0.002 on TITAN V (~500
-audio-s/s, reference README.md:169-171; HiFiGAN V1 is a strictly heavier
-generator) — used as the conservative bar (BASELINE.md).
+Metric: synthesized audio-seconds per wall-second per chip (22.05 kHz) for
+the reference's eponymous flagship model, Parallel WaveGAN V1 (LJSpeech
+config, egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml), bf16 serving
+dtype, batch=16 x 5.9 s utterances, using the fused Pallas WaveNet-stack
+kernel (ops/pallas/wavenet_stack.py). Baseline: the reference's published
+decode RTF 0.016 on a TITAN V GPU (README.md:148-153) = 62.5 audio-s/s.
 
 Timing note: each timed iteration ends in a device->host scalar readback —
 block_until_ready alone under-reports on this platform's tunneled TPU.
@@ -16,6 +16,7 @@ block_until_ready alone under-reports on this platform's tunneled TPU.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,53 +24,69 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: first run pays ~2-4 min of remote TPU
+    # compilation, later runs (and the driver's) start in seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/parallelwavegan_tpu/xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
-    from parallelwavegan_tpu.models import HiFiGANGenerator
+    from parallelwavegan_tpu.models import ParallelWaveGANGenerator
+    from parallelwavegan_tpu.ops.pallas.pwg_infer import pwg_fused_forward
 
-    sr = 22050
-    hop = 256
-    # HiFiGAN V1 (reference egs/ljspeech/voc1/conf/hifigan.v1.yaml)
-    generator = HiFiGANGenerator(
-        in_channels=80,
-        channels=512,
-        upsample_scales=(8, 8, 2, 2),
-        upsample_kernel_sizes=(16, 16, 4, 4),
-        resblock_kernel_sizes=(3, 7, 11),
-        resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    sr, hop = 22050, 256
+    # PWG v1 (reference egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml)
+    generator = ParallelWaveGANGenerator(
+        layers=30, stacks=3, residual_channels=64, gate_channels=128,
+        skip_channels=64, aux_channels=80, aux_context_window=2,
+        upsample_params={"upsample_scales": [4, 4, 4, 4]},
     )
-    rng = jax.random.key(0)
-    batch, frames = 128, 512
+    batch, frames = 16, 512
     dtype = jnp.bfloat16
-    mels = [
+    rng = jax.random.key(0)
+    cs = [
         jnp.asarray(
-            np.random.default_rng(s).standard_normal((batch, frames, 80)),
-            dtype=dtype,
+            np.random.default_rng(s).standard_normal((batch, frames + 4, 80)),
+            dtype,
         )
-        for s in range(5)
+        for s in range(4)
     ]
+    z = jnp.asarray(
+        np.random.default_rng(9).standard_normal((batch, frames * hop, 1)),
+        dtype,
+    )
     variables = generator.init(
-        {"params": rng}, mels[0][:1, :8].astype(jnp.float32)
+        {"params": rng},
+        z[:1, : hop * 8].astype(jnp.float32),
+        cs[0][:1, :12].astype(jnp.float32),
     )
     variables = jax.tree.map(lambda x: x.astype(dtype), variables)
 
-    # reduce on device; the scalar readback is the synchronization point
-    fwd = jax.jit(lambda v, c: jnp.sum(generator.apply(v, c)))
-    float(fwd(variables, mels[0]))  # compile + warm up
+    use_kernel = jax.default_backend() not in ("cpu",)
+    fwd = jax.jit(
+        lambda v, z, c: jnp.sum(
+            pwg_fused_forward(generator, v, z, c, use_kernel=use_kernel)
+        )
+    )
+    float(fwd(variables, z, cs[0]))  # compile + warm up
 
     tic = time.perf_counter()
-    for m in mels[1:]:
-        float(fwd(variables, m))
+    for c in cs[1:]:
+        float(fwd(variables, z, c))
     elapsed = time.perf_counter() - tic
-    n_iters = len(mels) - 1
+    n_iters = len(cs) - 1
 
     audio_seconds = n_iters * batch * frames * hop / sr
     value = audio_seconds / elapsed
-    baseline = 500.0  # MelGAN TITAN V RTF 0.002 -> 500 audio-s/s
+    baseline = 62.5  # reference PWG decode RTF 0.016 on TITAN V
     print(
         json.dumps(
             {
-                "metric": "hifigan_v1_synthesis_audio_seconds_per_sec_per_chip",
+                "metric": "pwg_v1_synthesis_audio_seconds_per_sec_per_chip",
                 "value": round(value, 2),
                 "unit": "audio-s/s",
                 "vs_baseline": round(value / baseline, 3),

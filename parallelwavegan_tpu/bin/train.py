@@ -52,8 +52,47 @@ def build_dataset(config, rootdir):
     )
 
 
+def _try_native_loader(config, dataset, seed, num_shards, shard_index):
+    """Use the C++ loader (datasets/native_loader.py) when it applies:
+    npy dumps, mel2wav batch layout, lib builds. Returns None otherwise."""
+    from parallelwavegan_tpu.datasets import native_loader
+
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    setting = config.get("use_native_loader", "auto")
+    eligible = (
+        config.get("format", "hdf5") == "npy"
+        and gen_type
+        in ("ParallelWaveGANGenerator", "MelGANGenerator",
+            "HiFiGANGenerator", "StyleMelGANGenerator")
+        and native_loader.is_available()
+    )
+    if setting == "auto" and not eligible:
+        return None
+    if not setting:
+        return None
+    pairs = list(zip(dataset.audio_files, dataset.mel_files))
+    loader = native_loader.NativeMelWavLoader(
+        pairs,
+        batch_size=config["batch_size"] // num_shards,
+        batch_max_steps=config["batch_max_steps"],
+        hop_size=config["hop_size"],
+        aux_context_window=config.get("generator_params", {}).get(
+            "aux_context_window", 0
+        ),
+        use_noise_input=gen_type == "ParallelWaveGANGenerator",
+        seed=seed,
+        num_shards=num_shards,
+        shard_index=shard_index,
+    )
+    logging.info("Using native (C++) data loader.")
+    return loader
+
+
 def build_loader(config, dataset, seed, num_shards, shard_index):
     gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    native = _try_native_loader(config, dataset, seed, num_shards, shard_index)
+    if native is not None:
+        return native
     collater = Collater(
         batch_max_steps=config["batch_max_steps"],
         hop_size=config["hop_size"],
