@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# LibriTTS multi-speaker vocoder recipe; stages shared with egs/common/run_stages.sh.
+cd "$(dirname "$0")"
+conf=conf/hifigan.v1.yaml
+
+download() {
+    if [ ! -d "${db_root}/LibriTTS/train-clean-100" ]; then
+        mkdir -p "${db_root}"
+        (cd "${db_root}" && wget -q https://www.openslr.org/resources/60/train-clean-100.tar.gz \
+         && tar xzf train-clean-100.tar.gz)
+    fi
+}
+
+data_prep() {
+    python ../../common/data_prep.py --db-root "${db_root}" --wav-glob 'LibriTTS/train-clean-100/*/*/*.wav' --spk-regex 'train-clean-100/([0-9]+)/' --num-dev 500 --num-eval 500
+}
+
+source ../../common/run_stages.sh "$@"

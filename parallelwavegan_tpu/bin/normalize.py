@@ -56,13 +56,24 @@ def main():
         raise ValueError("support only hdf5 or npy format.")
 
     os.makedirs(args.dumpdir, exist_ok=True)
+    # auxiliary keys copied through untouched (reference normalize.py keeps
+    # f0/excitation/global alongside the normalized feats)
+    extra_keys = ("f0", "excitation", "global")
+    src_by_utt = dict(zip(dataset.utt_ids, dataset.mel_files))
     for utt_id, audio, mel in tqdm(dataset):
         mel_norm = (mel - mean) / scale
         if config["format"] == "hdf5":
+            src = src_by_utt[utt_id]
             path = os.path.join(args.dumpdir, f"{utt_id}.h5")
             write_hdf5(path, "feats", mel_norm.astype(np.float32))
             if not args.skip_wav_copy:
                 write_hdf5(path, "wave", audio.astype(np.float32))
+            import h5py
+
+            with h5py.File(src, "r") as f:
+                present = [k for k in extra_keys if k in f]
+            for k in present:
+                write_hdf5(path, k, read_hdf5(src, k))
         else:
             np.save(
                 os.path.join(args.dumpdir, f"{utt_id}-feats.npy"),
@@ -73,6 +84,13 @@ def main():
                     os.path.join(args.dumpdir, f"{utt_id}-wave.npy"),
                     audio.astype(np.float32), allow_pickle=False,
                 )
+            for k in extra_keys:
+                src = src_by_utt[utt_id].replace("-feats.npy", f"-{k}.npy")
+                if os.path.exists(src):
+                    np.save(
+                        os.path.join(args.dumpdir, f"{utt_id}-{k}.npy"),
+                        np.load(src), allow_pickle=False,
+                    )
 
 
 if __name__ == "__main__":

@@ -57,6 +57,12 @@ def main():
     parser.add_argument("--dumpdir", type=str, required=True)
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--use-f0", action="store_true")
+    parser.add_argument(
+        "--utt2spk", default=None, type=str,
+        help="kaldi-style utt2spk; with --spk2idx writes a 'global' "
+        "speaker-index key for global conditioning (VQVAE recipes)",
+    )
+    parser.add_argument("--spk2idx", default=None, type=str)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -78,6 +84,21 @@ def main():
             args.rootdir, "*.wav",
             audio_load_fn=read_wav, return_utt_id=True,
         )
+
+    utt2idx = None
+    if args.utt2spk is not None:
+        assert args.spk2idx is not None, "--utt2spk requires --spk2idx"
+        with open(args.utt2spk) as f:
+            utt2spk = dict(line.split()[:2] for line in f if line.strip())
+        with open(args.spk2idx) as f:
+            spk2idx = {
+                k: int(v)
+                for k, v in (line.split()[:2] for line in f if line.strip())
+            }
+        utt2idx = {
+            u: spk2idx.get(s, max(spk2idx.values()) + 1)
+            for u, s in utt2spk.items()
+        }
 
     os.makedirs(args.dumpdir, exist_ok=True)
     fs = config["sampling_rate"]
@@ -173,6 +194,11 @@ def main():
                 write_hdf5(path, "f0", f0.astype(np.float32))
             if excitation is not None:
                 write_hdf5(path, "excitation", excitation.astype(np.float32))
+            if utt2idx is not None:
+                write_hdf5(
+                    path, "global",
+                    np.array([utt2idx[utt_id]], dtype=np.int64),
+                )
         elif config["format"] == "npy":
             np.save(
                 os.path.join(args.dumpdir, f"{utt_id}-wave.npy"),
@@ -182,6 +208,12 @@ def main():
                 os.path.join(args.dumpdir, f"{utt_id}-feats.npy"),
                 mel.astype(np.float32), allow_pickle=False,
             )
+            if utt2idx is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-global.npy"),
+                    np.array([utt2idx[utt_id]], dtype=np.int64),
+                    allow_pickle=False,
+                )
         else:
             raise ValueError("support only hdf5 or npy format.")
 

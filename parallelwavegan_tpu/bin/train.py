@@ -15,7 +15,14 @@ import sys
 
 import numpy as np
 
-from parallelwavegan_tpu.datasets import AudioMelDataset, Collater
+from parallelwavegan_tpu.datasets import (
+    AudioDataset,
+    AudioGlobalDataset,
+    AudioMelDataset,
+    AudioMelF0Dataset,
+    AudioMelF0ExcitationDataset,
+    Collater,
+)
 from parallelwavegan_tpu.datasets.loader import DataLoader
 from parallelwavegan_tpu.utils.io import load_config, read_hdf5, save_config
 
@@ -41,15 +48,65 @@ def build_dataset(config, rootdir):
         mel_length_threshold = (
             config["batch_max_steps"] // hop_size + 2 * aux_context_window
         )
-    return AudioMelDataset(
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    allow_cache = config.get("allow_cache", False)
+    if gen_type == "VQVAE":
+        # wav2wav path: raw audio windows (+ optional global speaker index)
+        if config.get("use_global_condition", False):
+            if fmt == "hdf5":
+                return AudioGlobalDataset(
+                    rootdir, audio_query=audio_query,
+                    audio_load_fn=audio_load_fn,
+                    audio_length_threshold=config["batch_max_steps"],
+                    allow_cache=allow_cache,
+                )
+            return AudioGlobalDataset(
+                rootdir, audio_query=audio_query,
+                audio_load_fn=audio_load_fn,
+                global_load_fn=lambda f: np.load(
+                    f.replace("-wave.npy", "-global.npy")
+                ),
+                audio_length_threshold=config["batch_max_steps"],
+                allow_cache=allow_cache,
+            )
+        return AudioDataset(
+            rootdir, audio_query=audio_query, audio_load_fn=audio_load_fn,
+            audio_length_threshold=config["batch_max_steps"],
+            allow_cache=allow_cache,
+        )
+    common = dict(
         root_dir=rootdir,
         audio_query=audio_query,
         mel_query=mel_query,
         audio_load_fn=audio_load_fn,
         mel_load_fn=mel_load_fn,
         mel_length_threshold=mel_length_threshold,
-        allow_cache=config.get("allow_cache", False),
+        allow_cache=allow_cache,
     )
+    if gen_type == "UHiFiGANGenerator":
+        if fmt == "hdf5":
+            return AudioMelF0ExcitationDataset(**common)
+        return AudioMelF0ExcitationDataset(
+            f0_load_fn=lambda f: np.load(
+                f.replace("-wave.npy", "-f0.npy")
+            ),
+            excitation_load_fn=lambda f: np.load(
+                f.replace("-wave.npy", "-excitation.npy")
+            ),
+            **common,
+        )
+    if gen_type == "DiscreteSymbolF0Generator" and config.get(
+        "generator_params", {}
+    ).get("use_f0", True):
+        if fmt == "hdf5":
+            return AudioMelF0Dataset(**common)
+        return AudioMelF0Dataset(
+            f0_load_fn=lambda f: np.load(
+                f.replace("-wave.npy", "-f0.npy")
+            ),
+            **common,
+        )
+    return AudioMelDataset(**common)
 
 
 def _try_native_loader(config, dataset, seed, num_shards, shard_index):
@@ -93,6 +150,7 @@ def build_loader(config, dataset, seed, num_shards, shard_index):
     native = _try_native_loader(config, dataset, seed, num_shards, shard_index)
     if native is not None:
         return native
+    is_vq = gen_type == "VQVAE"
     collater = Collater(
         batch_max_steps=config["batch_max_steps"],
         hop_size=config["hop_size"],
@@ -101,6 +159,14 @@ def build_loader(config, dataset, seed, num_shards, shard_index):
         ),
         use_noise_input=gen_type == "ParallelWaveGANGenerator",
         use_duration="Duration" in gen_type,
+        use_f0=gen_type == "DiscreteSymbolF0Generator"
+        and config.get("generator_params", {}).get("use_f0", True),
+        use_f0_and_excitation=gen_type == "UHiFiGANGenerator",
+        use_aux_input=not is_vq,
+        use_global_condition=is_vq
+        and config.get("use_global_condition", False),
+        use_local_condition=is_vq
+        and config.get("use_local_condition", False),
         rng=np.random.default_rng(seed + 1000 * shard_index),
     )
     return DataLoader(

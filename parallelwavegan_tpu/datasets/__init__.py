@@ -2,6 +2,7 @@
 
 from parallelwavegan_tpu.datasets.audio_mel_dataset import (  # noqa: F401
     AudioDataset,
+    AudioGlobalDataset,
     AudioMelDataset,
     AudioMelF0Dataset,
     AudioMelF0ExcitationDataset,

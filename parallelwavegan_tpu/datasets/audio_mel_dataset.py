@@ -32,6 +32,16 @@ def _default_loaders(fmt: str):
     raise ValueError(f"format {fmt} is not supported.")
 
 
+def _utt_id(path: str) -> str:
+    """Basename sans extension and the npy modality suffix
+    (utt0-wave.npy / utt0-feats.npy -> utt0)."""
+    base = os.path.splitext(os.path.basename(path))[0]
+    for suf in ("-wave", "-feats"):
+        if base.endswith(suf):
+            return base[: -len(suf)]
+    return base
+
+
 class _CachedDataset:
     """Shared caching / len / getitem plumbing."""
 
@@ -103,7 +113,7 @@ class AudioMelDataset(_CachedDataset):
         self.audio_load_fn = audio_load_fn
         self.mel_load_fn = mel_load_fn
         self.return_utt_id = return_utt_id
-        utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in audio_files]
+        utt_ids = [_utt_id(f) for f in audio_files]
         super().__init__(utt_ids, allow_cache)
 
     def __getitem__(self, idx):
@@ -186,7 +196,7 @@ class AudioDataset(_CachedDataset):
         self.audio_files = audio_files
         self.audio_load_fn = audio_load_fn
         self.return_utt_id = return_utt_id
-        utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in audio_files]
+        utt_ids = [_utt_id(f) for f in audio_files]
         super().__init__(utt_ids, allow_cache)
 
     def __getitem__(self, idx):
@@ -221,7 +231,7 @@ class MelDataset(_CachedDataset):
         self.mel_files = mel_files
         self.mel_load_fn = mel_load_fn
         self.return_utt_id = return_utt_id
-        utt_ids = [os.path.splitext(os.path.basename(f))[0] for f in mel_files]
+        utt_ids = [_utt_id(f) for f in mel_files]
         super().__init__(utt_ids, allow_cache)
 
     def __getitem__(self, idx):
@@ -270,5 +280,29 @@ class MelF0ExcitationDataset(MelDataset):
             if self.return_utt_id:
                 return (self.utt_ids[i], mel, f0, excitation)
             return (mel, f0, excitation)
+
+        return self._cached(idx, load)
+
+
+class AudioGlobalDataset(AudioDataset):
+    """(audio, global speaker index) pairs for globally-conditioned VQVAE
+    training (reference datasets/audio_mel_dataset.py audio+global variants;
+    the 'global' key is written by bin/preprocess.py --utt2spk/--spk2idx)."""
+
+    def __init__(
+        self, root_dir,
+        global_load_fn: Callable = lambda f: read_hdf5(f, "global"),
+        **kwargs,
+    ):
+        super().__init__(root_dir, **kwargs)
+        self.global_load_fn = global_load_fn
+
+    def __getitem__(self, idx):
+        def load(i):
+            audio = self.audio_load_fn(self.audio_files[i])
+            g = int(np.asarray(self.global_load_fn(self.audio_files[i])).reshape(-1)[0])
+            if self.return_utt_id:
+                return (self.utt_ids[i], audio, g)
+            return (audio, g)
 
         return self._cached(idx, load)

@@ -115,9 +115,10 @@ class Collater:
             ).astype(np.float32)
             out["f0"] = f.reshape(f.shape[0], f.shape[1], 1)
         if self.use_f0_and_excitation:
+            # excitation is audio-rate: crop with the waveform window
             es = [b[3] for b in batch]
             e = np.stack(
-                [e[s:ee] for e, s, ee in zip(es, c_starts, c_ends)]
+                [e[s:ee] for e, s, ee in zip(es, x_starts, x_ends)]
             ).astype(np.float32)
             out["excitation"] = e.reshape(e.shape[0], -1, 1)
         return out

@@ -29,13 +29,20 @@ def _to_hashable(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def build_models(config: Dict[str, Any]):
-    gen_cls = get_model_class(
-        config.get("generator_type", "ParallelWaveGANGenerator")
-    )
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    gen_cls = get_model_class(gen_type)
     dis_cls = get_model_class(
         config.get("discriminator_type", "ParallelWaveGANDiscriminator")
     )
-    generator = gen_cls(**_to_hashable(config.get("generator_params", {})))
+    gen_params = dict(config.get("generator_params", {}))
+    if "Duration" in gen_type and "hop_size" in config:
+        # training windows are contiguous token spans, so the regulated
+        # length is exactly the window's frame count; pin the static
+        # length-regulator size to it so y_hat matches y
+        steps = config.get("batch_max_steps", 8192)
+        steps -= steps % config["hop_size"]
+        gen_params["max_reg_len"] = steps // config["hop_size"]
+    generator = gen_cls(**_to_hashable(gen_params))
     discriminator = dis_cls(
         **_to_hashable(config.get("discriminator_params", {}))
     )
@@ -59,6 +66,13 @@ def example_batch(config: Dict[str, Any], batch_size: int = 2
         * 0.1,
     }
     if gen_type == "VQVAE":
+        if config.get("use_global_condition", False):
+            batch["g"] = np.zeros((batch_size,), np.int32)
+        if config.get("use_local_condition", False):
+            local_dim = 1
+            batch["l"] = rng.standard_normal(
+                (batch_size, frames, local_dim)
+            ).astype(np.float32)
         return batch
     if "Duration" in gen_type:
         batch["c"] = np.ones((batch_size, frames, 2), np.int32)

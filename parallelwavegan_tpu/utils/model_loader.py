@@ -73,6 +73,9 @@ class InferenceModel:
             scales = (gp.get("upsample_params") or {}).get(
                 "upsample_scales", [4, 4, 4, 4]
             )
+        elif self.gen_type == "VQVAE":
+            # wav2wav: encoder downsamples, decoder upsamples back -> 1
+            scales = []
         else:
             scales = gp.get("upsample_scales", [8, 8, 2, 2])
         out = 1
@@ -119,9 +122,26 @@ class InferenceModel:
                     def fn(variables, c, z):
                         y = gen.apply(variables, z, c)
                         return y
+            elif self.gen_type == "DiscreteSymbolStyleMelGANGenerator":
+                def fn(variables, c, z):
+                    return gen.apply(variables, c, z)
             elif "StyleMelGAN" in self.gen_type:
                 def fn(variables, c, z):
                     return gen.apply(variables, c, z)
+            elif self.gen_type == "DiscreteSymbolDurationGenerator":
+                def fn(variables, c, z):
+                    # synthesis path: predicted durations (ds=None)
+                    y, _ = gen.apply(variables, c, None, True)
+                    return y
+            elif self.gen_type == "DiscreteSymbolF0Generator":
+                def fn(variables, c, z):
+                    # z carries f0 (B, T', 1) for this family
+                    return gen.apply(variables, c, z)
+            elif self.gen_type == "UHiFiGANGenerator":
+                def fn(variables, c, z):
+                    # z = (f0, excitation)
+                    f0, excitation = z
+                    return gen.apply(variables, c, f0, excitation)
             else:
                 def fn(variables, c, z):
                     y = gen.apply(variables, c)
@@ -133,14 +153,106 @@ class InferenceModel:
         return self._jit_cache[shape_key]
 
     def inference(self, c: np.ndarray, normalize_before: bool = False,
-                  rng: Optional[jax.Array] = None) -> np.ndarray:
+                  rng: Optional[jax.Array] = None,
+                  f0: Optional[np.ndarray] = None,
+                  excitation: Optional[np.ndarray] = None) -> np.ndarray:
         """Mel (T', C) -> wave (T, out_channels) as float32 numpy.
 
         bucket_size=1: no tail padding, exact parity with the reference's
-        single-utterance decode.
+        single-utterance decode. Discrete-token / f0 / excitation variants
+        route through exact-shape single-utterance paths (reference
+        bin/decode.py:236-255).
         """
+        if self.gen_type in (
+            "DiscreteSymbolHiFiGANGenerator",
+            "DiscreteSymbolDurationGenerator",
+            "DiscreteSymbolF0Generator",
+            "DiscreteSymbolStyleMelGANGenerator",
+            "UHiFiGANGenerator",
+        ):
+            return self._inference_special(c, rng, f0, excitation)
         return self.synthesize_batch([c], normalize_before, rng,
                                      bucket_size=1)[0]
+
+    def _inference_special(self, c, rng, f0, excitation) -> np.ndarray:
+        """Single-utterance path for token / f0 / excitation generators."""
+        gen = self.generator
+        c = np.asarray(c)[None]  # (1, T', C)
+        if c.ndim == 2:
+            c = c[..., None]
+        if self.gen_type == "DiscreteSymbolDurationGenerator":
+            y, ds_out = jax.jit(
+                lambda v, c: gen.apply(v, c, None, True)
+            )(self.variables, c)
+            # predicted integer durations decide the true output length
+            # (reference layers/duration_predictor.py inference: exp-offset)
+            offset = getattr(gen, "duration_offset", 1.0)
+            ds = np.clip(
+                np.round(np.exp(np.asarray(ds_out)) - offset), 0, None
+            ).astype(np.int64)
+            n = int(ds.sum()) * self.upsample_factor
+            return np.asarray(y, np.float32)[0, :n]
+        if self.gen_type == "DiscreteSymbolF0Generator" and f0 is not None:
+            f0 = np.asarray(f0, np.float32).reshape(1, -1, 1)
+            y = jax.jit(lambda v, c, f: gen.apply(v, c, f))(
+                self.variables, c, f0
+            )
+            return np.asarray(y, np.float32)[0]
+        if self.gen_type == "UHiFiGANGenerator":
+            assert excitation is not None, "UHiFiGAN requires excitation"
+            f0_in = (
+                np.asarray(f0, np.float32).reshape(1, -1, 1)
+                if f0 is not None else None
+            )
+            exc = np.asarray(excitation, np.float32).reshape(1, -1, 1)
+            y = jax.jit(lambda v, c, f, e: gen.apply(v, c, f, e))(
+                self.variables, c.astype(np.float32), f0_in, exc
+            )
+            return np.asarray(y, np.float32)[0]
+        if self.gen_type == "DiscreteSymbolStyleMelGANGenerator":
+            if rng is None:
+                rng = jax.random.key(0)
+            nf = int(np.prod(gen.noise_upsample_scales))
+            frames = (c.shape[1] - 1) // nf + 1
+            pad = frames * nf - c.shape[1]
+            cp = np.pad(c, ((0, 0), (0, pad), (0, 0)), mode="edge")
+            z = jax.random.normal(rng, (1, 1, gen.in_channels))
+            y = jax.jit(lambda v, c, z: gen.apply(v, c, z))(
+                self.variables, cp, z
+            )
+            n = c.shape[1] * self.upsample_factor
+            return np.asarray(y, np.float32)[0, :n]
+        y = jax.jit(lambda v, c: gen.apply(v, c))(self.variables, c)
+        return np.asarray(y, np.float32)[0]
+
+    # -- VQVAE (wav2wav) path ------------------------------------------
+    def vq_encode(self, audio: np.ndarray) -> np.ndarray:
+        """Audio (T,) -> codebook indices (T'',) (reference
+        models/vqvae.py:113-125, bin/decode.py:366-385)."""
+        x = np.asarray(audio, np.float32).reshape(1, -1, 1)
+        idx = jax.jit(
+            lambda v, x: self.generator.apply(
+                v, x, method=self.generator.encode
+            )
+        )(self.variables, x)
+        return np.asarray(idx)[0]
+
+    def vq_decode(self, indices: np.ndarray, l=None, g=None) -> np.ndarray:
+        """Codebook indices -> wave (+ optional local/global conditioning)."""
+        idx = np.asarray(indices, np.int32)[None]
+        l_in = None if l is None else np.asarray(l, np.float32)[None]
+        g_in = None if g is None else np.asarray(g, np.int32).reshape(1)
+        y = jax.jit(
+            lambda v, i, l, g: self.generator.apply(
+                v, i, l, g, method=self.generator.decode
+            )
+        )(self.variables, idx, l_in, g_in)
+        y = np.asarray(y, np.float32)
+        if self.pqmf is not None:
+            import jax.numpy as _jnp
+
+            y = np.asarray(self.pqmf.synthesis(_jnp.asarray(y)), np.float32)
+        return y[0]
 
     def synthesize_batch(
         self,

@@ -17,7 +17,7 @@ from parallelwavegan_tpu.engine.criterion import build_criterion
 from parallelwavegan_tpu.engine.step import build_steps
 from parallelwavegan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
-ALL_CONFIGS = sorted(glob.glob("egs/*/voc1/conf/*.yaml"))
+ALL_CONFIGS = sorted(glob.glob("egs/*/*/conf/*.yaml"))
 DEBUG_CONFIGS = sorted(glob.glob("egs/synthetic/voc1/conf/*.debug.yaml"))
 
 
