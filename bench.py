@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: synthesized audio-seconds per wall-second per chip (22.05 kHz) for
 the reference's eponymous flagship model, Parallel WaveGAN V1 (LJSpeech
 config, egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml), bf16 serving
-dtype, batch=16 x 5.9 s utterances, using the fused Pallas WaveNet-stack
+dtype, batch=32 x 5.9 s utterances, using the fused Pallas WaveNet-stack
 kernel (ops/pallas/wavenet_stack.py). Baseline: the reference's published
 decode RTF 0.016 on a TITAN V GPU (README.md:148-153) = 62.5 audio-s/s.
 
@@ -45,7 +45,7 @@ def main():
         skip_channels=64, aux_channels=80, aux_context_window=2,
         upsample_params={"upsample_scales": [4, 4, 4, 4]},
     )
-    batch, frames = 16, 512
+    batch, frames = 32, 512
     dtype = jnp.bfloat16
     rng = jax.random.key(0)
     cs = [

@@ -63,8 +63,8 @@ def pqmf_analysis(
 ) -> jnp.ndarray:
     """(B, T, 1) full-band wave -> (B, T//subbands, subbands) subband signals."""
     h_analysis, _ = pqmf_filters(subbands, taps, cutoff_ratio, beta)
-    # kernel (K, 1, subbands)
-    kernel = jnp.asarray(h_analysis.T[:, None, :])
+    # kernel (K, 1, subbands); filter in the input dtype (bf16 serving path)
+    kernel = jnp.asarray(h_analysis.T[:, None, :], dtype=x.dtype)
     y = conv1d(pad1d(x, (taps // 2, taps // 2)), kernel)
     return y[:, ::subbands, :]
 
@@ -83,5 +83,5 @@ def pqmf_synthesis(
     # zero-stuff by S with xS gain (reference conv_transpose w/ identity * S)
     up = jnp.zeros((B, Ts, subbands, S), x.dtype).at[:, :, 0, :].set(x * subbands)
     up = up.reshape(B, Ts * subbands, S)
-    kernel = jnp.asarray(h_synthesis.T[:, :, None])  # (K, subbands, 1)
+    kernel = jnp.asarray(h_synthesis.T[:, :, None], dtype=x.dtype)  # (K, S, 1)
     return conv1d(pad1d(up, (taps // 2, taps // 2)), kernel)

@@ -132,3 +132,44 @@ def test_pqmf_near_perfect_reconstruction():
     b = np.roll(b, best)
     err = np.sqrt(np.mean((a[taps:-taps] - b[taps:-taps]) ** 2))
     assert err < 0.05, err
+
+
+def test_conv_transpose1d_polyphase_matches_lhs_dilated():
+    """The polyphase formulation (ops/conv.py) must match the lhs-dilated
+    torch-semantics conv_transpose1d bit-for-bit in f32 tolerances."""
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.ops.conv import (
+        conv_transpose1d,
+        conv_transpose1d_polyphase,
+    )
+
+    rng = np.random.default_rng(0)
+    for (k, s, pad, op) in [
+        (16, 8, 4, 0), (4, 2, 1, 0), (10, 5, 2, 1), (2, 2, 0, 0),
+        (7, 3, 2, 0), (20, 11, 4, 3), (3, 1, 1, 0),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, 37, 5)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, 5, 7)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(7), jnp.float32)
+        a = conv_transpose1d(x, w, b, s, pad, op)
+        c = conv_transpose1d_polyphase(x, w, b, s, pad, op)
+        assert a.shape == c.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_pqmf_bf16_serving_dtype():
+    """PQMF analysis/synthesis must accept bf16 inputs (serving path)."""
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.ops.pqmf import pqmf_analysis, pqmf_synthesis
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 256, 1)), jnp.bfloat16
+    )
+    sub = pqmf_analysis(x, subbands=4)
+    assert sub.dtype == jnp.bfloat16 and sub.shape == (2, 64, 4)
+    y = pqmf_synthesis(sub, subbands=4)
+    assert y.dtype == jnp.bfloat16 and y.shape == (2, 256, 1)
