@@ -9,6 +9,12 @@ dtype, batch=32 x 5.9 s utterances, using the fused Pallas WaveNet-stack
 kernel (ops/pallas/wavenet_stack.py). Baseline: the reference's published
 decode RTF 0.016 on a TITAN V GPU (README.md:148-153) = 62.5 audio-s/s.
 
+`BENCH_MODE=train python bench.py` instead measures full adversarial
+training steps/s for the same config (G update + D update, batch 6 x
+25600 samples); baseline = the reference's published 400k steps in ~3 days
+on a TITAN V (egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml:4) = 1.54
+steps/s.
+
 Timing note: each timed iteration ends in a device->host scalar readback —
 block_until_ready alone under-reports on this platform's tunneled TPU.
 """
@@ -34,6 +40,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
+
+    if os.environ.get("BENCH_MODE") == "train":
+        return train_bench()
 
     from parallelwavegan_tpu.models import ParallelWaveGANGenerator
     from parallelwavegan_tpu.ops.pallas.pwg_infer import pwg_fused_forward
@@ -89,6 +98,56 @@ def main():
                 "metric": "pwg_v1_synthesis_audio_seconds_per_sec_per_chip",
                 "value": round(value, 2),
                 "unit": "audio-s/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+def train_bench():
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from parallelwavegan_tpu.engine.build import (
+        example_batch,
+        init_train_state,
+    )
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+    from parallelwavegan_tpu.engine.step import build_steps
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(
+        os.path.join(
+            here, "egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml"
+        )
+    ) as f:
+        cfg = yaml.safe_load(f)
+    rng = jax.random.key(0)
+    state, g, d, og, od = init_train_state(cfg, rng)
+    criterion = build_criterion(cfg)
+    factory, _ = build_steps(cfg, g, d, criterion, og, od)
+    step = factory(True, True, True)  # full adversarial G + D step
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in example_batch(cfg, batch_size=cfg["batch_size"]).items()
+    }
+    state, m = step(state, batch, rng)
+    float(m["generator_loss"])  # compile + warm up
+    n = 5
+    tic = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, batch, rng)
+        float(m["generator_loss"])
+    elapsed = (time.perf_counter() - tic) / n
+    baseline = 400000 / (3 * 86400)  # reference: 400k steps / ~3 days
+    value = 1.0 / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "pwg_v1_train_steps_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "steps/s",
                 "vs_baseline": round(value / baseline, 3),
             }
         )
