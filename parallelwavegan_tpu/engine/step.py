@@ -111,8 +111,8 @@ def build_steps(
       step(state, batch, rng) -> (new_state, metrics)
     eval_step(state, batch, rng) -> metrics   (includes adv metrics)
     """
-    gen_forward = make_generator_forward(config, generator)
-    dis_forward = make_discriminator_forward(config, discriminator)
+    gen_forward_raw = make_generator_forward(config, generator)
+    dis_forward_raw = make_discriminator_forward(config, discriminator)
     out_ch = config.get("generator_params", {}).get("out_channels", 1)
     gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
     is_vq = gen_type == "VQVAE"
@@ -120,6 +120,45 @@ def build_steps(
     lambda_adv = config.get("lambda_adv", 4.0)
     lambda_fm = config.get("lambda_feat_match", 2.0)
     lambda_commit = config.get("lambda_commit", 0.25)
+
+    # mixed precision (config `mixed_precision: true`): master params stay
+    # f32 (optimizer/gradient accumulation precision), network forwards run
+    # in bf16 (MXU-native), losses reduce in f32. The cast-in is
+    # differentiable so grads come back f32. The reference trains pure-f32
+    # on GPU; this is the TPU-idiomatic equivalent knob.
+    mixed = bool(config.get("mixed_precision", False))
+
+    def _half(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    def _full(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            tree,
+        )
+
+    if mixed:
+        def gen_forward(gvars, batch, rng, deterministic):
+            y_, aux = gen_forward_raw(
+                _half(gvars), _half(batch), rng, deterministic
+            )
+            return _full(y_), _full(aux)
+
+        def dis_forward(params_d, extra_d, x, rng, train):
+            outs, new_extra = dis_forward_raw(
+                _half(params_d), _half(extra_d),
+                x.astype(jnp.bfloat16), rng, train,
+            )
+            # carried state (spectral-norm power iteration) back to f32
+            return _full(outs), _full(new_extra)
+    else:
+        gen_forward = gen_forward_raw
+        dis_forward = dis_forward_raw
 
     def prepare_batch(batch):
         """Host-side-free prep: VQ subband input."""

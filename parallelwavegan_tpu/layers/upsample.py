@@ -77,7 +77,9 @@ class _PolyphaseSmoothingConv(_ConvBase):
         tp = 2 * s if self.use_causal_conv else s
         j_start = -2 if self.use_causal_conv else -1
         n_taps = 3
-        M = jnp.asarray(_polyphase_matrix(s, kt, tp, n_taps, j_start))
+        M = jnp.asarray(
+            _polyphase_matrix(s, kt, tp, n_taps, j_start), dtype=c.dtype
+        )
         W = (kernel @ M.T).reshape(fk, s, n_taps)  # (fk, scale, taps)
 
         B, T0, C = c.shape

@@ -227,3 +227,62 @@ def test_batch_is_sharded_over_mesh(tmp_path):
     batch = {"y": np.zeros((8, 64, 1), np.float32)}
     sharded = shard_batch(mesh, batch)
     assert len(sharded["y"].sharding.device_set) == 8
+
+
+def test_mixed_precision_train_step():
+    """`mixed_precision: true` runs forwards in bf16 with f32 master params:
+    one full adversarial step must produce finite losses, keep the param
+    tree f32, and track the f32 step's losses closely."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.engine.build import (
+        example_batch,
+        init_train_state,
+    )
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+    from parallelwavegan_tpu.engine.step import build_steps
+
+    config = {
+        "sampling_rate": 8000, "hop_size": 64, "num_mels": 40,
+        "batch_max_steps": 512,
+        "generator_type": "ParallelWaveGANGenerator",
+        "generator_params": {
+            "layers": 4, "stacks": 2, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 40,
+            "aux_context_window": 2,
+            "upsample_params": {"upsample_scales": [4, 4, 4]},
+        },
+        "discriminator_type": "ParallelWaveGANDiscriminator",
+        "discriminator_params": {"layers": 3, "conv_channels": 8},
+        "stft_loss_params": {
+            "fft_sizes": [64, 128], "hop_sizes": [16, 32],
+            "win_lengths": [48, 96],
+        },
+        "lambda_adv": 4.0,
+        "generator_optimizer_params": {"lr": 1e-4},
+        "discriminator_optimizer_params": {"lr": 5e-5},
+        "generator_grad_norm": 10, "discriminator_grad_norm": 1,
+    }
+    rng = jax.random.key(0)
+    batch = {
+        k: jnp.asarray(v) for k, v in example_batch(config, 2).items()
+    }
+    losses = {}
+    for mp in (False, True):
+        cfg = copy.deepcopy(config)
+        cfg["mixed_precision"] = mp
+        state, g, d, og, od = init_train_state(cfg, rng)
+        criterion = build_criterion(cfg)
+        factory, _ = build_steps(cfg, g, d, criterion, og, od)
+        step = factory(True, True, True)
+        new_state, metrics = step(state, batch, rng)
+        gl = float(metrics["generator_loss"])
+        assert np.isfinite(gl)
+        leaves = jax.tree_util.tree_leaves(new_state.params_g)
+        assert all(x.dtype == jnp.float32 for x in leaves)
+        losses[mp] = gl
+    # bf16 forward must track the f32 loss closely
+    assert abs(losses[True] - losses[False]) / abs(losses[False]) < 0.05
