@@ -48,6 +48,14 @@ done
 expdir="exp/${tag}"
 dumpdir="dump"
 
+# auto-detect conditioning modes from the experiment config
+if grep -qE "^use_local_condition: *[Tt]rue" "${conf}"; then
+    local_mode=true
+fi
+if grep -qE "^use_global_condition: *[Tt]rue" "${conf}"; then
+    global_mode=true
+fi
+
 if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
     echo "Stage -1: Download"
     download
@@ -75,6 +83,8 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
         else
             extra_args=()
             [ "${use_f0}" = true ] && extra_args+=(--use-f0)
+            # locally-conditioned recipes (vq1 local): dump log-f0+V/UV
+            [ "${local_mode:-false}" = true ] && extra_args+=(--extract-f0)
             # multi-speaker prep wrote utt2spk/spk2idx: dump a 'global'
             # speaker-index key for globally-conditioned models (vq1)
             if [ "${global_mode:-false}" = true ] \
@@ -96,11 +106,24 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
         python -m parallelwavegan_tpu.bin.compute_statistics \
             --rootdir "${dumpdir}/train/raw" --dumpdir "${dumpdir}/train" \
             --config "${conf}"
+        if [ "${local_mode:-false}" = true ]; then
+            python -m parallelwavegan_tpu.bin.compute_statistics \
+                --rootdir "${dumpdir}/train/raw" \
+                --dumpdir "${dumpdir}/train" \
+                --config "${conf}" --target-feats local
+        fi
         for set in train dev eval; do
             python -m parallelwavegan_tpu.bin.normalize \
                 --rootdir "${dumpdir}/${set}/raw" \
                 --dumpdir "${dumpdir}/${set}/norm" \
                 --stats "${dumpdir}/train/stats.h5" --config "${conf}"
+            if [ "${local_mode:-false}" = true ]; then
+                python -m parallelwavegan_tpu.bin.normalize \
+                    --rootdir "${dumpdir}/${set}/raw" \
+                    --dumpdir "${dumpdir}/${set}/norm" \
+                    --stats "${dumpdir}/train/stats-local.h5" \
+                    --config "${conf}" --target-feats local --skip-wav-copy
+            fi
         done
     fi
 fi

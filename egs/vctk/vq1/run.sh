@@ -3,7 +3,8 @@
 # shared with egs/common/run_stages.sh (reference egs/vctk/vq1/run.sh).
 cd "$(dirname "$0")"
 conf=conf/conditioned_melgan_vae.v3.yaml
-global_mode=true
+# local_mode/global_mode are auto-detected from the config's
+# use_{local,global}_condition keys by run_stages.sh
 
 download() {
     if [ ! -d "${db_root}/VCTK-Corpus" ]; then

@@ -52,6 +52,17 @@ def main():
     parser.add_argument("--rootdir", type=str, default=None)
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--dumpdir", default=None, type=str, required=True)
+    parser.add_argument(
+        "--target-feats", type=str, default="feats",
+        choices=["feats", "local"],
+        help="which dumped feature key to accumulate statistics over",
+    )
+    parser.add_argument(
+        "--utt2spk", default=None, type=str,
+        help="kaldi-style utt2spk; if given, also write per-speaker "
+        "statistics as stats-<spk>.h5 (reference "
+        "bin/compute_statistics.py:163-192)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -61,36 +72,62 @@ def main():
     )
     config = load_config(args.config)
 
+    tf = args.target_feats
     if (args.feats_scp is None) == (args.rootdir is None):
         raise ValueError("Please specify either --rootdir or --feats-scp.")
     if args.feats_scp is None:
         if config["format"] == "hdf5":
             dataset = MelDataset(
-                args.rootdir, "*.h5", lambda f: read_hdf5(f, "feats")
+                args.rootdir, "*.h5", lambda f: read_hdf5(f, tf),
+                return_utt_id=args.utt2spk is not None,
             )
         elif config["format"] == "npy":
-            dataset = MelDataset(args.rootdir, "*-feats.npy", np.load)
+            dataset = MelDataset(
+                args.rootdir, f"*-{tf}.npy", np.load,
+                return_utt_id=args.utt2spk is not None,
+            )
         else:
             raise ValueError("support only hdf5 or npy format.")
     else:
-        dataset = MelSCPDataset(args.feats_scp)
+        dataset = MelSCPDataset(
+            args.feats_scp, return_utt_id=args.utt2spk is not None
+        )
     logging.info(f"The number of files = {len(dataset)}.")
 
-    stats = RunningStats()
-    for mel in tqdm(dataset):
-        stats.update(mel)
+    utt2spk = None
+    if args.utt2spk is not None:
+        with open(args.utt2spk) as f:
+            utt2spk = dict(line.split()[:2] for line in f if line.strip())
+
+    def save(stats, name):
+        if config["format"] == "hdf5":
+            path = os.path.join(args.dumpdir, f"{name}.h5")
+            write_hdf5(path, "mean", stats.mean.astype(np.float32))
+            write_hdf5(path, "scale", stats.scale.astype(np.float32))
+        else:
+            np.save(
+                os.path.join(args.dumpdir, f"{name}.npy"),
+                np.stack([stats.mean, stats.scale]).astype(np.float32),
+                allow_pickle=False,
+            )
 
     os.makedirs(args.dumpdir, exist_ok=True)
-    if config["format"] == "hdf5":
-        path = os.path.join(args.dumpdir, "stats.h5")
-        write_hdf5(path, "mean", stats.mean.astype(np.float32))
-        write_hdf5(path, "scale", stats.scale.astype(np.float32))
-    else:
-        np.save(
-            os.path.join(args.dumpdir, "stats.npy"),
-            np.stack([stats.mean, stats.scale]).astype(np.float32),
-            allow_pickle=False,
-        )
+    stats = RunningStats()
+    per_spk = {}
+    for item in tqdm(dataset):
+        if utt2spk is not None:
+            utt_id, mel = item
+            spk = utt2spk.get(utt_id)
+            if spk is not None:
+                per_spk.setdefault(spk, RunningStats()).update(mel)
+        else:
+            mel = item
+        stats.update(mel)
+
+    base = "stats" if tf == "feats" else f"stats-{tf}"
+    save(stats, base)
+    for spk, s in per_spk.items():
+        save(s, f"{base}-{spk}")
 
 
 if __name__ == "__main__":

@@ -25,6 +25,13 @@ def main():
     parser.add_argument("--stats", type=str, required=True)
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--skip-wav-copy", action="store_true")
+    parser.add_argument(
+        "--target-feats", type=str, default="feats",
+        choices=["feats", "local"],
+        help="which dumped feature key to normalize; binary columns of "
+        "'local' features are kept un-normalized (reference "
+        "bin/normalize.py:274-278)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -41,15 +48,16 @@ def main():
         arr = np.load(args.stats)
         mean, scale = arr[0].reshape(-1), arr[1].reshape(-1)
 
+    tf = args.target_feats
     if config["format"] == "hdf5":
         dataset = AudioMelDataset(
             args.rootdir, "*.h5", "*.h5",
-            lambda f: read_hdf5(f, "wave"), lambda f: read_hdf5(f, "feats"),
+            lambda f: read_hdf5(f, "wave"), lambda f: read_hdf5(f, tf),
             return_utt_id=True,
         )
     elif config["format"] == "npy":
         dataset = AudioMelDataset(
-            args.rootdir, "*-wave.npy", "*-feats.npy", np.load, np.load,
+            args.rootdir, "*-wave.npy", f"*-{tf}.npy", np.load, np.load,
             return_utt_id=True,
         )
     else:
@@ -58,14 +66,22 @@ def main():
     os.makedirs(args.dumpdir, exist_ok=True)
     # auxiliary keys copied through untouched (reference normalize.py keeps
     # f0/excitation/global alongside the normalized feats)
-    extra_keys = ("f0", "excitation", "global")
+    extra_keys = tuple(
+        k for k in ("f0", "excitation", "global") if k != tf
+    )
     src_by_utt = dict(zip(dataset.utt_ids, dataset.mel_files))
     for utt_id, audio, mel in tqdm(dataset):
         mel_norm = (mel - mean) / scale
+        if tf == "local":
+            # binary columns (e.g. V/UV) pass through un-normalized
+            is_binary = (
+                np.logical_or(mel == 1, mel == 0).sum(axis=0) == len(mel)
+            )
+            mel_norm[:, is_binary] = mel[:, is_binary]
         if config["format"] == "hdf5":
             src = src_by_utt[utt_id]
             path = os.path.join(args.dumpdir, f"{utt_id}.h5")
-            write_hdf5(path, "feats", mel_norm.astype(np.float32))
+            write_hdf5(path, tf, mel_norm.astype(np.float32))
             if not args.skip_wav_copy:
                 write_hdf5(path, "wave", audio.astype(np.float32))
             import h5py
@@ -76,7 +92,7 @@ def main():
                 write_hdf5(path, k, read_hdf5(src, k))
         else:
             np.save(
-                os.path.join(args.dumpdir, f"{utt_id}-feats.npy"),
+                os.path.join(args.dumpdir, f"{utt_id}-{tf}.npy"),
                 mel_norm.astype(np.float32), allow_pickle=False,
             )
             if not args.skip_wav_copy:

@@ -58,6 +58,11 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--use-f0", action="store_true")
     parser.add_argument(
+        "--extract-f0", action="store_true",
+        help="dump continuous log-f0 + V/UV as the 'local' feature key "
+        "(locally-conditioned VQVAE recipes)",
+    )
+    parser.add_argument(
         "--utt2spk", default=None, type=str,
         help="kaldi-style utt2spk; with --spk2idx writes a 'global' "
         "speaker-index key for global conditioning (VQVAE recipes)",
@@ -165,6 +170,22 @@ def main():
             )[: len(mel)]
             f0 = np.pad(f0, (0, len(mel) - len(f0)))
 
+        local = None
+        if args.extract_f0:
+            from parallelwavegan_tpu.ops.audio import logf0_and_vuv
+
+            local = logf0_and_vuv(
+                audio, fs, hop_size,
+                pitch_min=config.get("pitch_min", 40),
+                pitch_max=config.get("pitch_max", 500),
+            )
+            if local is None:
+                logging.warning(f"{utt_id} is all-unvoiced; skipped.")
+                continue
+            local = local[: len(mel)]
+            local = np.pad(local, ((0, len(mel) - len(local)), (0, 0)),
+                           mode="edge")
+
         excitation = None
         if config.get("use_excitation", False):
             import jax
@@ -194,6 +215,8 @@ def main():
                 write_hdf5(path, "f0", f0.astype(np.float32))
             if excitation is not None:
                 write_hdf5(path, "excitation", excitation.astype(np.float32))
+            if local is not None:
+                write_hdf5(path, "local", local.astype(np.float32))
             if utt2idx is not None:
                 write_hdf5(
                     path, "global",
@@ -208,6 +231,11 @@ def main():
                 os.path.join(args.dumpdir, f"{utt_id}-feats.npy"),
                 mel.astype(np.float32), allow_pickle=False,
             )
+            if local is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-local.npy"),
+                    local.astype(np.float32), allow_pickle=False,
+                )
             if utt2idx is not None:
                 np.save(
                     os.path.join(args.dumpdir, f"{utt_id}-global.npy"),

@@ -18,6 +18,7 @@ import numpy as np
 from parallelwavegan_tpu.datasets import (
     AudioDataset,
     AudioGlobalDataset,
+    AudioLocalDataset,
     AudioMelDataset,
     AudioMelF0Dataset,
     AudioMelF0ExcitationDataset,
@@ -51,7 +52,27 @@ def build_dataset(config, rootdir):
     gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
     allow_cache = config.get("allow_cache", False)
     if gen_type == "VQVAE":
-        # wav2wav path: raw audio windows (+ optional global speaker index)
+        # wav2wav path: raw audio windows (+ optional local/global cond)
+        if config.get("use_local_condition", False):
+            g_fn = None
+            if config.get("use_global_condition", False):
+                g_fn = (
+                    (lambda f: read_hdf5(f, "global")) if fmt == "hdf5"
+                    else (lambda f: np.load(
+                        f.replace("-wave.npy", "-global.npy")))
+                )
+            return AudioLocalDataset(
+                rootdir, audio_query=audio_query,
+                audio_load_fn=audio_load_fn,
+                local_load_fn=(
+                    (lambda f: read_hdf5(f, "local")) if fmt == "hdf5"
+                    else (lambda f: np.load(
+                        f.replace("-wave.npy", "-local.npy")))
+                ),
+                global_load_fn=g_fn,
+                audio_length_threshold=config["batch_max_steps"],
+                allow_cache=allow_cache,
+            )
         if config.get("use_global_condition", False):
             if fmt == "hdf5":
                 return AudioGlobalDataset(

@@ -3,6 +3,7 @@
 from parallelwavegan_tpu.datasets.audio_mel_dataset import (  # noqa: F401
     AudioDataset,
     AudioGlobalDataset,
+    AudioLocalDataset,
     AudioMelDataset,
     AudioMelF0Dataset,
     AudioMelF0ExcitationDataset,

@@ -306,3 +306,34 @@ class AudioGlobalDataset(AudioDataset):
             return (audio, g)
 
         return self._cached(idx, load)
+
+
+class AudioLocalDataset(AudioDataset):
+    """(audio, local[, global]) tuples for locally-conditioned VQVAE
+    training ('local' = e.g. continuous log-f0 + V/UV written by
+    bin/preprocess.py --extract-f0)."""
+
+    def __init__(
+        self, root_dir,
+        local_load_fn: Callable = lambda f: read_hdf5(f, "local"),
+        global_load_fn: Optional[Callable] = None,
+        **kwargs,
+    ):
+        super().__init__(root_dir, **kwargs)
+        self.local_load_fn = local_load_fn
+        self.global_load_fn = global_load_fn
+
+    def __getitem__(self, idx):
+        def load(i):
+            f = self.audio_files[i]
+            audio = self.audio_load_fn(f)
+            l = self.local_load_fn(f)
+            out = (audio, l)
+            if self.global_load_fn is not None:
+                g = int(np.asarray(self.global_load_fn(f)).reshape(-1)[0])
+                out = out + (g,)
+            if self.return_utt_id:
+                return (self.utt_ids[i],) + out
+            return out
+
+        return self._cached(idx, load)

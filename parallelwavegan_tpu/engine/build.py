@@ -69,7 +69,7 @@ def example_batch(config: Dict[str, Any], batch_size: int = 2
         if config.get("use_global_condition", False):
             batch["g"] = np.zeros((batch_size,), np.int32)
         if config.get("use_local_condition", False):
-            local_dim = 1
+            local_dim = gp.get("num_local_embeds") or 2
             batch["l"] = rng.standard_normal(
                 (batch_size, frames, local_dim)
             ).astype(np.float32)

@@ -127,3 +127,36 @@ def interpolate_continuous_f0(f0: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     voiced_idx = np.flatnonzero(f0 > 0)
     cont = np.interp(np.arange(len(f0)), voiced_idx, f0[voiced_idx])
     return np.log(np.maximum(cont, 1e-10)).astype(np.float32), vuv
+
+
+def logf0_and_vuv(
+    audio: np.ndarray,
+    sampling_rate: int,
+    hop_size: int = 256,
+    pitch_min: float = 40.0,
+    pitch_max: float = 500.0,
+) -> Optional[np.ndarray]:
+    """Continuous log-f0 + voiced/unvoiced local features (#frames, 2).
+
+    Role parity with the reference's pyreaper path
+    (bin/preprocess.py:136-185): f0 from YIN, unvoiced gaps linearly
+    interpolated, start/end padded with the first/last voiced value,
+    log-domain; column 1 is the binary V/UV flag. Returns None when every
+    frame is unvoiced (the reference skips such utterances).
+    """
+    f0 = yin_f0(
+        np.pad(audio, (0, hop_size * 2)), sampling_rate, hop_size,
+        pitch_min=pitch_min, pitch_max=pitch_max,
+    )
+    vuv = (f0 > 0).astype(np.float32)
+    if vuv.sum() == 0:
+        return None
+    voiced = np.flatnonzero(f0 > 0)
+    f0 = f0.astype(np.float64)
+    f0[: voiced[0]] = f0[voiced[0]]
+    f0[voiced[-1]:] = f0[voiced[-1]]
+    unvoiced = np.flatnonzero(f0 <= 0)
+    if len(unvoiced) > 0:
+        f0[unvoiced] = np.interp(unvoiced, voiced, f0[voiced])
+    lf0 = np.log(f0).astype(np.float32)
+    return np.stack([lf0, vuv], axis=-1)

@@ -173,3 +173,27 @@ def test_pqmf_bf16_serving_dtype():
     assert sub.dtype == jnp.bfloat16 and sub.shape == (2, 64, 4)
     y = pqmf_synthesis(sub, subbands=4)
     assert y.dtype == jnp.bfloat16 and y.shape == (2, 256, 1)
+
+
+def test_logf0_and_vuv_local_features():
+    """Continuous log-f0 + V/UV local features: voiced sine at 220 Hz must
+    yield lf0 ~= log(220) on voiced frames and a binary V/UV column."""
+    from parallelwavegan_tpu.ops.audio import logf0_and_vuv
+
+    sr, hop = 16000, 256
+    t = np.arange(sr)  # 1 s
+    audio = np.concatenate([
+        0.5 * np.sin(2 * np.pi * 220 * t / sr),
+        0.005 * np.random.default_rng(0).standard_normal(sr // 2),
+    ]).astype(np.float32)
+    local = logf0_and_vuv(audio, sr, hop)
+    assert local is not None and local.shape[1] == 2
+    vuv = local[:, 1]
+    assert set(np.unique(vuv)) <= {0.0, 1.0}
+    voiced = local[vuv == 1, 0]
+    assert len(voiced) > 10
+    np.testing.assert_allclose(
+        np.median(voiced), np.log(220.0), rtol=0.02
+    )
+    # continuous: no NaN/inf anywhere, including unvoiced frames
+    assert np.isfinite(local).all()
