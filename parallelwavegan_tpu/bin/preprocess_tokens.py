@@ -38,6 +38,12 @@ def main():
     )
     parser.add_argument("--utt2spk", default=None, type=str)
     parser.add_argument("--spk2idx", default=None, type=str)
+    parser.add_argument(
+        "--use-f0", action="store_true",
+        help="also extract f0 at the token frame rate and dump it as the "
+        "'f0' key (DiscreteSymbolF0Generator recipes, reference "
+        "egs/opencpop/token_voc1/conf/hifigan_token_*_f0.v1.yaml)",
+    )
     parser.add_argument("--dumpdir", type=str, required=True)
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--verbose", type=int, default=1)
@@ -123,6 +129,17 @@ def main():
             logging.warning(f"{utt_id} is too short; skipped.")
             continue
 
+        f0 = None
+        if args.use_f0 or config.get("use_f0", False):
+            from parallelwavegan_tpu.ops.audio import yin_f0
+
+            f0 = yin_f0(
+                np.pad(audio, (0, hop_size * 2)), fs, hop_size,
+                pitch_min=config.get("pitch_min", 40),
+                pitch_max=config.get("pitch_max", 500),
+            )[: len(feats)]
+            f0 = np.pad(f0, (0, len(feats) - len(f0)))
+
         gain = config.get("global_gain_scale", 1.0)
         if gain > 0.0:
             audio = audio * gain
@@ -134,6 +151,8 @@ def main():
             path = os.path.join(args.dumpdir, f"{utt_id}.h5")
             write_hdf5(path, "wave", audio.astype(np.float32))
             write_hdf5(path, "feats", feats.astype(np.float32))
+            if f0 is not None:
+                write_hdf5(path, "f0", f0.astype(np.float32))
         elif config["format"] == "npy":
             np.save(
                 os.path.join(args.dumpdir, f"{utt_id}-wave.npy"),
@@ -143,6 +162,11 @@ def main():
                 os.path.join(args.dumpdir, f"{utt_id}-feats.npy"),
                 feats.astype(np.float32), allow_pickle=False,
             )
+            if f0 is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-f0.npy"),
+                    f0.astype(np.float32), allow_pickle=False,
+                )
         else:
             raise ValueError("support only hdf5 or npy format.")
 
