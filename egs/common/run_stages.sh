@@ -66,6 +66,44 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     data_prep
 fi
 
+# round-robin split of data/<set>/wav.scp into n_jobs shards, then run the
+# given preprocess module once per shard in parallel (the analogue of the
+# reference's utils/make_subset_data.sh + run.pl JOB=1:n arrays,
+# reference egs/ljspeech/voc1/run.sh:60-77); logs land next to the dumps
+run_preprocess_jobs() { # set module extra-args...
+    local set=$1 module=$2; shift 2
+    local rawdir="${dumpdir}/${set}/raw"
+    mkdir -p "${rawdir}"
+    local n=${n_jobs}
+    local n_utts
+    n_utts=$(wc -l < "data/${set}/wav.scp")
+    [ "${n}" -gt "${n_utts}" ] && n=${n_utts}
+    if [ "${n}" -le 1 ]; then
+        python -m "parallelwavegan_tpu.bin.${module}" \
+            --wav-scp "data/${set}/wav.scp" "$@" \
+            --dumpdir "${rawdir}" --config "${conf}"
+        return
+    fi
+    for j in $(seq 1 "${n}"); do
+        awk -v j="${j}" -v n="${n}" 'NR % n == j % n' \
+            "data/${set}/wav.scp" > "${rawdir}/wav.${j}.scp"
+    done
+    local pids=()
+    for j in $(seq 1 "${n}"); do
+        python -m "parallelwavegan_tpu.bin.${module}" \
+            --wav-scp "${rawdir}/wav.${j}.scp" "$@" \
+            --dumpdir "${rawdir}" --config "${conf}" \
+            > "${rawdir}/preprocessing.${j}.log" 2>&1 &
+        pids+=($!)
+    done
+    local fail=0
+    for pid in "${pids[@]}"; do wait "${pid}" || fail=1; done
+    if [ "${fail}" -ne 0 ]; then
+        echo "ERROR: feature extraction failed; see ${rawdir}/preprocessing.*.log" >&2
+        exit 1
+    fi
+}
+
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     echo "Stage 1: Feature extraction / statistics / normalization"
     for set in train dev eval; do
@@ -75,11 +113,8 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
                 spk_args=(--utt2spk "data/${set}/utt2spk"
                           --spk2idx "data/${set}/spk2idx")
             fi
-            python -m parallelwavegan_tpu.bin.preprocess_tokens \
-                --wav-scp "data/${set}/wav.scp" \
-                --text "data/${set}/text" \
-                "${spk_args[@]}" \
-                --dumpdir "${dumpdir}/${set}/raw" --config "${conf}"
+            run_preprocess_jobs "${set}" preprocess_tokens \
+                --text "data/${set}/text" "${spk_args[@]}"
         else
             extra_args=()
             [ "${use_f0}" = true ] && extra_args+=(--use-f0)
@@ -92,9 +127,7 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
                 extra_args+=(--utt2spk "data/${set}/utt2spk"
                              --spk2idx "data/${set}/spk2idx")
             fi
-            python -m parallelwavegan_tpu.bin.preprocess \
-                --wav-scp "data/${set}/wav.scp" "${extra_args[@]}" \
-                --dumpdir "${dumpdir}/${set}/raw" --config "${conf}"
+            run_preprocess_jobs "${set}" preprocess "${extra_args[@]}"
         fi
     done
     if [ "${token_mode}" = true ] || [ "${skip_normalize}" = true ]; then
