@@ -50,7 +50,7 @@ def pwg_fused_forward(
     c: Optional[jnp.ndarray],
     *,
     group_size: Optional[int] = None,
-    chunk: int = 8192,
+    chunk: int = 16384,
     use_kernel: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:

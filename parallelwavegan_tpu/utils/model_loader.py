@@ -27,6 +27,26 @@ from parallelwavegan_tpu.utils.io import load_config, read_hdf5
 from parallelwavegan_tpu.utils.params import fold_weight_norm
 
 
+def _version_leq(a: str, b: str) -> bool:
+    """Dotted-version compare (LooseVersion analogue for the back-compat
+    shim; non-numeric components compare as 0)."""
+
+    def parts(v: str) -> List[int]:
+        out = []
+        for p in str(v).replace("-", ".").split("."):
+            try:
+                out.append(int(p))
+            except ValueError:
+                out.append(0)
+        return out
+
+    pa, pb = parts(a), parts(b)
+    n = max(len(pa), len(pb))
+    pa += [0] * (n - len(pa))
+    pb += [0] * (n - len(pb))
+    return pa <= pb
+
+
 class InferenceModel:
     """Generator + folded params + stats + (optional) PQMF."""
 
@@ -59,8 +79,14 @@ class InferenceModel:
         self.mean: Optional[np.ndarray] = None
         self.scale: Optional[np.ndarray] = None
         out_ch = gen_params.get("out_channels", 1)
+        # reference back-compat: checkpoints trained with
+        # parallel_wavegan <= 0.4.2 used the old PQMF prototype defaults
+        # (taps 62, cutoff 0.15, beta 9.0 — reference utils/utils.py:350-357)
+        pqmf_defaults: Dict[str, Any] = {}
+        if _version_leq(config.get("version", "0.1.0"), "0.4.2"):
+            pqmf_defaults = {"taps": 62, "cutoff_ratio": 0.15, "beta": 9.0}
         self.pqmf = (
-            PQMF(subbands=out_ch, **config.get("pqmf_params", {}))
+            PQMF(subbands=out_ch, **config.get("pqmf_params", pqmf_defaults))
             if out_ch > 1
             else None
         )

@@ -67,6 +67,10 @@ def test_multiband_melgan_copy_synthesis_parity(tmp_path):
         "generator_type": "MelGANGenerator",
         "generator_params": gen_params,
         "hop_size": 16,
+        # without a version key load_model applies the <=0.4.2 legacy PQMF
+        # prototype (reference utils/utils.py:350-357); this checkpoint
+        # pairs with a current-defaults PQMF, so declare a modern version
+        "version": "0.6.1",
     }
     torch.manual_seed(1)
     ref = ref_models.MelGANGenerator(**gen_params)
@@ -175,3 +179,35 @@ def test_batched_bucketed_synthesis(tmp_path):
         np.testing.assert_allclose(
             out[:n_safe], ref_out[:n_safe], rtol=1e-3, atol=1e-4
         )
+
+
+def test_legacy_version_pqmf_defaults(tmp_path):
+    """Checkpoints with config version <= 0.4.2 must get the old PQMF
+    prototype defaults (taps 62, cutoff 0.15, beta 9.0 — reference
+    utils/utils.py:350-357); newer versions the current defaults."""
+    import parallel_wavegan.models as ref_models
+
+    gen_params = {
+        "in_channels": 20, "out_channels": 4, "channels": 64,
+        "upsample_scales": [2, 2], "stacks": 2,
+    }
+    torch.manual_seed(2)
+    ref = ref_models.MelGANGenerator(**gen_params)
+    ref.eval()
+
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": gen_params,
+        "hop_size": 16,
+        "version": "0.4.2",
+    }
+    (tmp_path / "old").mkdir()
+    path = _save_reference_ckpt(tmp_path / "old", ref, config)
+    old = load_model(path)
+    assert old.pqmf is not None and old.pqmf.cutoff_ratio == 0.15
+
+    config = dict(config, version="0.5.3")
+    (tmp_path / "new").mkdir()
+    path = _save_reference_ckpt(tmp_path / "new", ref, config)
+    new = load_model(path)
+    assert new.pqmf is not None and new.pqmf.cutoff_ratio != 0.15
