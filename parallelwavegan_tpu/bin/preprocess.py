@@ -193,11 +193,15 @@ def main():
             from parallelwavegan_tpu.ops.sine import sine_excitation
 
             assert f0 is not None, "excitation requires f0"
-            sines, _, _ = sine_excitation(
-                jax.random.key(hash(utt_id) % (2**31)),
-                np.repeat(f0, hop_size)[None, :, None], fs,
-            )
-            excitation = np.asarray(sines)[0, :, 0]
+            # preprocess is a host-side tool: keep the excitation math on
+            # CPU so parallel feature-extraction jobs never queue on (or
+            # pay per-shape compiles for) the accelerator
+            with jax.default_device(jax.devices("cpu")[0]):
+                sines, _, _ = sine_excitation(
+                    jax.random.key(hash(utt_id) % (2**31)),
+                    np.repeat(f0, hop_size)[None, :, None], fs,
+                )
+                excitation = np.asarray(sines)[0, :, 0]
 
         audio = audio * config.get("global_gain_scale", 1.0)
         if np.abs(audio).max() >= 1.0:
