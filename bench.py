@@ -140,11 +140,12 @@ def train_bench():
     }
     state, m = step(state, batch, rng)
     float(m["generator_loss"])  # compile + warm up
-    n = 5
+    # async dispatch, one readback at the end (see the synthesis bench note)
+    n = 8
     tic = time.perf_counter()
     for _ in range(n):
         state, m = step(state, batch, rng)
-        float(m["generator_loss"])
+    float(m["generator_loss"])
     elapsed = (time.perf_counter() - tic) / n
     baseline = 400000 / (3 * 86400)  # reference: 400k steps / ~3 days
     value = 1.0 / elapsed

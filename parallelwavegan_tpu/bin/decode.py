@@ -36,6 +36,13 @@ def main():
     parser.add_argument("--stats", default=None, type=str)
     parser.add_argument("--normalize-before", action="store_true")
     parser.add_argument("--batch-size", default=8, type=int)
+    parser.add_argument(
+        "--chunk-frames", default=0, type=int,
+        help="if > 0, synthesize each utterance in overlap-chunked windows "
+        "of this many mel frames (memory-bounded decoding of very long "
+        "utterances; exact for conv generators, see "
+        "InferenceModel.inference_chunked)",
+    )
     parser.add_argument("--use-f0", action="store_true")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
@@ -180,6 +187,22 @@ def main():
                 w = model.inference(
                     c, normalize_before=args.normalize_before,
                     f0=f0, excitation=excitation,
+                )
+                elapsed = time.time() - start
+                total_rtf += elapsed / (len(w) / sr)
+                write_wav(
+                    os.path.join(args.outdir, f"{utt_id}_gen.wav"),
+                    w[:, 0], sr,
+                )
+                n_done += 1
+                pbar.update(1)
+    elif args.chunk_frames > 0:
+        with tqdm(total=len(items)) as pbar:
+            for utt_id, c in items:
+                start = time.time()
+                w = model.inference_chunked(
+                    c, chunk_frames=args.chunk_frames,
+                    normalize_before=args.normalize_before,
                 )
                 elapsed = time.time() - start
                 total_rtf += elapsed / (len(w) / sr)

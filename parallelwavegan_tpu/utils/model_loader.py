@@ -280,6 +280,59 @@ class InferenceModel:
             y = np.asarray(self.pqmf.synthesis(_jnp.asarray(y)), np.float32)
         return y[0]
 
+    def inference_chunked(
+        self,
+        c: np.ndarray,
+        chunk_frames: int = 256,
+        context_frames: int = 64,
+        normalize_before: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Memory-bounded long-utterance synthesis by overlap-chunking
+        with receptive-field halos (the TPU answer to arbitrarily long
+        sequences — the reference runs the whole utterance through the conv
+        stack in one shot, reference models/*.py inference; see SURVEY §5).
+
+        Each chunk is synthesized from a window with `context_frames` of
+        real neighboring mel frames on each side; conv border effects only
+        corrupt outputs within the receptive field of a window edge, so the
+        cropped interior is EXACT (bit-equal to a full-utterance forward for
+        deterministic generators) whenever context_frames*hop exceeds the
+        generator's receptive field. Windows share at most three shapes, so
+        an arbitrarily long utterance costs a bounded number of compiles
+        and a bounded peak memory.
+
+        For noise-driven generators (Parallel WaveGAN) each chunk draws its
+        own z, which is distributionally identical to the full-utterance
+        draw but not bit-equal.
+        """
+        assert self.gen_type in (
+            "ParallelWaveGANGenerator",
+            "MelGANGenerator",
+            "HiFiGANGenerator",
+        ), f"chunked synthesis not supported for {self.gen_type}"
+        c = np.asarray(c, dtype=np.float32)
+        if normalize_before:
+            assert self.mean is not None, "register_stats first"
+            c = (c - self.mean) / self.scale
+        T = len(c)
+        if T <= chunk_frames + 2 * context_frames:
+            return self.inference(c, rng=rng)
+        if rng is None:
+            rng = jax.random.key(0)
+        up = self.upsample_factor
+        window = chunk_frames + 2 * context_frames
+        outs = []
+        for a in range(0, T, chunk_frames):
+            b = min(a + chunk_frames, T)
+            # uniform interior/tail window size -> bounded jit cache
+            lo = max(0, min(a - context_frames, T - window))
+            hi = min(T, lo + window) if lo > 0 else b + context_frames
+            rng, sub = jax.random.split(rng)
+            y = self.synthesize_batch([c[lo:hi]], rng=sub, bucket_size=1)[0]
+            outs.append(y[(a - lo) * up : (b - lo) * up])
+        return np.concatenate(outs, axis=0)
+
     def synthesize_batch(
         self,
         cs: Sequence[np.ndarray],

@@ -211,3 +211,76 @@ def test_legacy_version_pqmf_defaults(tmp_path):
     path = _save_reference_ckpt(tmp_path / "new", ref, config)
     new = load_model(path)
     assert new.pqmf is not None and new.pqmf.cutoff_ratio != 0.15
+
+
+def test_chunked_synthesis_exact():
+    """Overlap-chunked synthesis with receptive-field halos must be
+    bit-equal to the full-utterance forward for deterministic generators
+    (MelGAN / HiFiGAN), and length/finite for noise-driven PWG."""
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    rng = np.random.default_rng(0)
+    T = 700  # not a multiple of chunk_frames -> exercises the tail window
+
+    melgan_cfg = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": {
+            "in_channels": 16, "out_channels": 1, "channels": 32,
+            "upsample_scales": [4, 4], "stacks": 2,
+        },
+        "hop_size": 16,
+    }
+    mel = rng.standard_normal((T, 16)).astype(np.float32)
+    for cfg in (melgan_cfg,
+                {**melgan_cfg,
+                 "generator_params": {**melgan_cfg["generator_params"],
+                                      "out_channels": 4},
+                 "hop_size": 64},
+                {"generator_type": "HiFiGANGenerator",
+                 "generator_params": {
+                     "in_channels": 16, "channels": 32,
+                     "upsample_scales": [4, 4],
+                     "upsample_kernel_sizes": [8, 8],
+                     "resblock_kernel_sizes": [3],
+                     "resblock_dilations": [[1, 3]],
+                 },
+                 "hop_size": 16}):
+        from parallelwavegan_tpu.models import get_model_class
+
+        gen_cls = get_model_class(cfg["generator_type"])
+        gen = gen_cls(**cfg["generator_params"])
+        variables = gen.init({"params": jax.random.key(0)},
+                             jnp.zeros((1, 8, 16)))
+        model = InferenceModel(cfg, variables, fold_norm=False)
+        full = model.inference(mel)
+        chunked = model.inference_chunked(
+            mel, chunk_frames=128, context_frames=48
+        )
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
+
+    pwg_cfg = {
+        "generator_type": "ParallelWaveGANGenerator",
+        "generator_params": {
+            "layers": 6, "stacks": 3, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 16,
+            "aux_context_window": 2,
+            "upsample_params": {"upsample_scales": [4, 4]},
+        },
+        "hop_size": 16,
+    }
+    from parallelwavegan_tpu.models import ParallelWaveGANGenerator
+
+    gen = ParallelWaveGANGenerator(**pwg_cfg["generator_params"])
+    variables = gen.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 8 * 16, 1)), jnp.zeros((1, 12, 16)),
+    )
+    model = InferenceModel(pwg_cfg, variables, fold_norm=False)
+    chunked = model.inference_chunked(mel, chunk_frames=128,
+                                      context_frames=48)
+    assert chunked.shape == (T * 16, 1)
+    assert np.isfinite(chunked).all()
