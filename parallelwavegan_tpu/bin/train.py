@@ -28,6 +28,37 @@ from parallelwavegan_tpu.datasets.loader import DataLoader
 from parallelwavegan_tpu.utils.io import load_config, read_hdf5, save_config
 
 
+def build_scp_dataset(config, wav_scp, feats_scp, segments):
+    """Kaldi-style scp inputs (reference bin/train.py:1255-1331): wav.scp +
+    feats.scp (+ segments). Only the plain audio+mel path supports scp."""
+    from parallelwavegan_tpu.datasets import AudioMelSCPDataset
+
+    gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    if gen_type == "UHiFiGANGenerator":
+        raise NotImplementedError(
+            "SCP format is not supported for f0 and excitation."
+        )
+    if config.get("use_f0", False):
+        raise NotImplementedError("SCP format is not supported for f0.")
+    if gen_type == "VQVAE":
+        raise NotImplementedError("SCP format is not supported for VQVAE.")
+    mel_length_threshold = None
+    if config.get("remove_short_samples", False):
+        mel_length_threshold = (
+            config["batch_max_steps"] // config["hop_size"]
+            + 2 * config.get("generator_params", {}).get(
+                "aux_context_window", 0
+            )
+        )
+    return AudioMelSCPDataset(
+        wav_scp=wav_scp,
+        feats_scp=feats_scp,
+        segments=segments,
+        mel_length_threshold=mel_length_threshold,
+        allow_cache=config.get("allow_cache", False),
+    )
+
+
 def build_dataset(config, rootdir):
     fmt = config.get("format", "hdf5")
     if fmt == "hdf5":
@@ -116,9 +147,11 @@ def build_dataset(config, rootdir):
             ),
             **common,
         )
-    if gen_type == "DiscreteSymbolF0Generator" and config.get(
-        "generator_params", {}
-    ).get("use_f0", True):
+    use_f0 = config.get("use_f0", False) or (
+        gen_type == "DiscreteSymbolF0Generator"
+        and config.get("generator_params", {}).get("use_f0", True)
+    )
+    if use_f0:
         if fmt == "hdf5":
             return AudioMelF0Dataset(**common)
         return AudioMelF0Dataset(
@@ -142,6 +175,8 @@ def _try_native_loader(config, dataset, seed, num_shards, shard_index):
         and gen_type
         in ("ParallelWaveGANGenerator", "MelGANGenerator",
             "HiFiGANGenerator", "StyleMelGANGenerator")
+        and not config.get("use_f0", False)
+        and hasattr(dataset, "audio_files")
         and native_loader.is_available()
     )
     if setting == "auto" and not eligible:
@@ -180,8 +215,11 @@ def build_loader(config, dataset, seed, num_shards, shard_index):
         ),
         use_noise_input=gen_type == "ParallelWaveGANGenerator",
         use_duration="Duration" in gen_type,
-        use_f0=gen_type == "DiscreteSymbolF0Generator"
-        and config.get("generator_params", {}).get("use_f0", True),
+        use_f0=config.get("use_f0", False)
+        or (
+            gen_type == "DiscreteSymbolF0Generator"
+            and config.get("generator_params", {}).get("use_f0", True)
+        ),
         use_f0_and_excitation=gen_type == "UHiFiGANGenerator",
         use_aux_input=not is_vq,
         use_global_condition=is_vq
@@ -205,8 +243,16 @@ def main():
     parser = argparse.ArgumentParser(
         description="Train a GAN vocoder (TPU-native)."
     )
-    parser.add_argument("--train-dumpdir", type=str, required=True)
-    parser.add_argument("--dev-dumpdir", type=str, required=True)
+    parser.add_argument("--train-dumpdir", default=None, type=str)
+    parser.add_argument("--dev-dumpdir", default=None, type=str)
+    parser.add_argument("--train-wav-scp", default=None, type=str)
+    parser.add_argument("--train-feats-scp", default=None, type=str)
+    parser.add_argument("--train-segments", default=None, type=str)
+    parser.add_argument("--dev-wav-scp", default=None, type=str)
+    parser.add_argument("--dev-feats-scp", default=None, type=str)
+    parser.add_argument("--dev-segments", default=None, type=str)
+    parser.add_argument("--use-f0", action="store_true",
+                        help="train with per-frame f0 as an extra input")
     parser.add_argument("--outdir", type=str, required=True)
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--resume", default="", type=str, nargs="?")
@@ -214,6 +260,19 @@ def main():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
+    for split in ("train", "dev"):
+        dumpdir = getattr(args, f"{split}_dumpdir")
+        wav_scp = getattr(args, f"{split}_wav_scp")
+        feats_scp = getattr(args, f"{split}_feats_scp")
+        if dumpdir is None and (wav_scp is None or feats_scp is None):
+            parser.error(
+                f"--{split}-dumpdir or (--{split}-wav-scp and "
+                f"--{split}-feats-scp) is required."
+            )
+        if dumpdir is not None and wav_scp is not None:
+            parser.error(
+                f"give --{split}-dumpdir OR --{split}-wav-scp, not both."
+            )
 
     import jax
 
@@ -241,8 +300,19 @@ def main():
         for key, value in config.items():
             logging.info(f"{key} = {value}")
 
-    train_dataset = build_dataset(config, args.train_dumpdir)
-    dev_dataset = build_dataset(config, args.dev_dumpdir)
+    if args.train_dumpdir is not None:
+        train_dataset = build_dataset(config, args.train_dumpdir)
+    else:
+        train_dataset = build_scp_dataset(
+            config, args.train_wav_scp, args.train_feats_scp,
+            args.train_segments,
+        )
+    if args.dev_dumpdir is not None:
+        dev_dataset = build_dataset(config, args.dev_dumpdir)
+    else:
+        dev_dataset = build_scp_dataset(
+            config, args.dev_wav_scp, args.dev_feats_scp, args.dev_segments,
+        )
     logging.info(f"The number of training files = {len(train_dataset)}.")
     logging.info(f"The number of development files = {len(dev_dataset)}.")
 

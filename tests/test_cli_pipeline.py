@@ -174,3 +174,57 @@ def test_resume_training(corpus, monkeypatch):
         monkeypatch,
     )
     assert os.path.exists(os.path.join(outdir2, "checkpoint-5steps.ckpt"))
+
+
+def test_train_from_scp(corpus, monkeypatch):
+    """Kaldi-style training input: --train-wav-scp + --train-feats-scp
+    (reference bin/train.py:1255-1331 scp dataset path)."""
+    root, wav_dir, config_path, config = corpus
+    from parallelwavegan_tpu.bin import train
+
+    dump_norm = root / "dump_norm"
+    assert dump_norm.is_dir()  # produced by test_full_pipeline
+    utts = sorted(f[:-3] for f in os.listdir(dump_norm) if f.endswith(".h5"))
+    wav_scp = root / "wav.scp"
+    feats_scp = root / "feats.scp"
+    wav_scp.write_text(
+        "".join(f"{u} {wav_dir}/{u}.wav\n" for u in utts)
+    )
+    feats_scp.write_text(
+        "".join(f"{u} {dump_norm}/{u}.h5:feats\n" for u in utts)
+    )
+    cfg = dict(config)
+    cfg["train_max_steps"] = 2
+    config_scp = root / "config_scp.yml"
+    with open(config_scp, "w") as f:
+        yaml.dump(cfg, f)
+    outdir = str(root / "exp_scp")
+    _run_main(
+        train,
+        ["--train-wav-scp", str(wav_scp), "--train-feats-scp", str(feats_scp),
+         "--dev-wav-scp", str(wav_scp), "--dev-feats-scp", str(feats_scp),
+         "--outdir", outdir, "--config", str(config_scp)],
+        monkeypatch,
+    )
+    assert os.path.exists(os.path.join(outdir, "checkpoint-2steps.ckpt"))
+
+
+def test_train_arg_validation(corpus, monkeypatch):
+    root, wav_dir, config_path, config = corpus
+    from parallelwavegan_tpu.bin import train
+
+    with pytest.raises(SystemExit):
+        _run_main(
+            train,
+            ["--outdir", str(root / "x"), "--config", str(config_path)],
+            monkeypatch,
+        )
+    with pytest.raises(SystemExit):
+        _run_main(
+            train,
+            ["--train-dumpdir", str(root / "dump_norm"),
+             "--train-wav-scp", str(root / "wav.scp"),
+             "--dev-dumpdir", str(root / "dump_norm"),
+             "--outdir", str(root / "x"), "--config", str(config_path)],
+            monkeypatch,
+        )
