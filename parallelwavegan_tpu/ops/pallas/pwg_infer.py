@@ -73,7 +73,11 @@ def pwg_fused_forward(
     lpc = L // gen.stacks
     dils = [2 ** (i % lpc) for i in range(L)]
     if group_size is None:
-        group_size = lpc if lpc <= 10 else 10
+        # all layers in ONE kernel call when the halo stays a small
+        # fraction of the chunk: one window gather + one skip output
+        # instead of one per dilation cycle (938 vs 901 audio-s/s on v5e
+        # for PWG v1); fall back to per-cycle groups for huge dilations
+        group_size = L if sum(dils) <= chunk // 4 else min(lpc, 10)
     skip_total = None
     for g0 in range(0, L, group_size):
         idx = list(range(g0, min(g0 + group_size, L)))

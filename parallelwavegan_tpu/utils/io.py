@@ -61,8 +61,9 @@ def write_hdf5(hdf5_name: str, hdf5_path: str, write_data,
         f.create_dataset(hdf5_path, data=write_data)
 
 
-def read_wav(path: str):
-    """Read a WAV file -> (wave float32 in [-1, 1), sampling_rate)."""
+def read_wav(path):
+    """Read a WAV file (path or file-like) -> (wave float32 in [-1, 1),
+    sampling_rate)."""
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)

@@ -86,9 +86,26 @@ class ArkScpReader:
             yield utt, self[utt]
 
 
+def _read_wav_rxfile(rx: str):
+    """Read a wav.scp rxfile: a plain path, or a Kaldi command pipe
+    ("cmd args |" — the command's stdout is a wav stream), as kaldiio does."""
+    from parallelwavegan_tpu.utils.io import read_wav
+
+    rx = rx.strip()
+    if rx.endswith("|"):
+        import io
+        import subprocess
+
+        out = subprocess.run(
+            rx[:-1], shell=True, check=True, stdout=subprocess.PIPE
+        ).stdout
+        return read_wav(io.BytesIO(out))
+    return read_wav(rx)
+
+
 class WavScpReader:
-    """wav.scp reader: utt -> (wave float32, rate). Only plain paths (no
-    command pipes)."""
+    """wav.scp reader: utt -> (wave float32, rate). Supports plain paths and
+    Kaldi command pipes ("... |")."""
 
     def __init__(self, scp_path: str, segments: str | None = None):
         self.entries = load_scp(scp_path)
@@ -106,16 +123,11 @@ class WavScpReader:
         return len(self.segments) or len(self.entries)
 
     def __getitem__(self, utt: str):
-        from parallelwavegan_tpu.utils.io import read_wav
-
         if self.segments:
             rec, start, end = self.segments[utt]
-            wave, sr = read_wav(self.entries[rec].rstrip("|").strip())
+            wave, sr = _read_wav_rxfile(self.entries[rec])
             return wave[int(start * sr) : int(end * sr)], sr
-        rx = self.entries[utt]
-        if rx.endswith("|"):
-            raise ValueError(f"command-pipe wav.scp entries unsupported: {rx}")
-        return read_wav(rx)
+        return _read_wav_rxfile(self.entries[utt])
 
     def __iter__(self):
         for utt in self.keys():

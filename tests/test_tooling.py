@@ -159,3 +159,19 @@ def test_wav_scp_and_segments(tmp_path):
     seg, rate = reader["seg1"]
     assert rate == sr
     assert len(seg) == sr // 2
+
+
+def test_wav_scp_command_pipe(tmp_path):
+    """Kaldi command-pipe rxfiles ("cmd |") stream wav bytes from stdout
+    (kaldiio semantics, used by flac-based corpora)."""
+    from parallelwavegan_tpu.utils.io import write_wav
+    from parallelwavegan_tpu.utils.kaldiio_lite import WavScpReader
+
+    sr = 8000
+    wave = np.linspace(-0.5, 0.5, sr).astype(np.float32)
+    write_wav(str(tmp_path / "a.wav"), wave, sr)
+    (tmp_path / "wav.scp").write_text(f"rec1 cat {tmp_path}/a.wav |\n")
+    reader = WavScpReader(str(tmp_path / "wav.scp"))
+    piped, rate = reader["rec1"]
+    assert rate == sr and len(piped) == sr
+    np.testing.assert_allclose(piped, wave, atol=2.0 / 32767)
