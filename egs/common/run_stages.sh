@@ -19,6 +19,8 @@
 #   skip_normalize=true      train/decode on raw (un-normalized) features
 set -euo pipefail
 
+source "$(dirname "${BASH_SOURCE[0]}")/path.sh"
+
 stage=${stage:--1}
 stop_stage=${stop_stage:-4}
 tag=${tag:-}

@@ -9,6 +9,8 @@
 #   stage 4: objective evaluation (MCD / log-F0)
 set -euo pipefail
 
+source "$(dirname "$0")/../../common/path.sh"
+
 stage=0
 stop_stage=4
 conf=conf/parallel_wavegan.v1.debug.yaml
