@@ -65,11 +65,14 @@ def main():
             f.write(f"{utt} {rmse:.4f} {vuv:.4f} {semi:.4f}\n")
     rmses = np.array([r for _, r, _, _ in results])
     vuvs = np.array([v for _, _, v, _ in results])
+    # an utterance pair with no commonly-voiced frames has no defined RMSE
+    # (rmse = nan per utt); report n/a rather than nan when none has one
+    valid = rmses[~np.isnan(rmses)]
+    mean_rmse = f"{valid.mean():.4f}" if valid.size else "n/a (no voiced overlap)"
     logging.info(
-        f"Mean log-F0 RMSE: {np.nanmean(rmses):.4f}; "
-        f"V/UV error: {vuvs.mean():.4f}"
+        f"Mean log-F0 RMSE: {mean_rmse}; V/UV error: {vuvs.mean():.4f}"
     )
-    print(f"Mean log-F0 RMSE: {np.nanmean(rmses):.4f}")
+    print(f"Mean log-F0 RMSE: {mean_rmse}")
 
 
 if __name__ == "__main__":
