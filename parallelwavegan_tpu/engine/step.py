@@ -33,6 +33,36 @@ def make_generator_forward(config: Dict[str, Any], generator) -> Callable:
         "ParallelWaveGANGenerator",
     ) or config.get("use_noise_input", False)
 
+    # fused Pallas WaveNet stack for the PWG training hot loop (custom VJP;
+    # ops/pallas/wavenet_stack_train.py). Single-device only: pallas_call is
+    # opaque to GSPMD, so sharded-batch (multi-chip) runs keep the XLA path.
+    fused_cfg = config.get("fused_wavenet", "auto")
+    use_fused = (
+        gen_type == "ParallelWaveGANGenerator"
+        and fused_cfg in (True, "auto", "true")
+        and jax.default_backend() not in ("cpu",)
+        and jax.device_count() == 1
+    )
+    if use_fused:
+        from parallelwavegan_tpu.ops.pallas.pwg_infer import (
+            pwg_fused_forward,
+            supports_fused_inference,
+        )
+
+        use_fused = supports_fused_inference(generator)
+    if use_fused:
+        # 0/unset = auto (even chunks near 6400; see pwg_fused_forward)
+        fused_chunk = int(config.get("fused_wavenet_chunk", 0)) or None
+
+        def forward(variables, batch, rng, deterministic):
+            y_ = pwg_fused_forward(
+                generator, variables, batch["z"], batch["c"],
+                trainable=True, chunk=fused_chunk,
+            )
+            return y_, {}
+
+        return forward
+
     def forward(variables, batch, rng, deterministic):
         r_drop, r_noise = jax.random.split(rng)
         rngs = {"dropout": r_drop, "noise": r_noise}

@@ -21,6 +21,9 @@ from parallelwavegan_tpu.ops.pallas.wavenet_stack import (
     wavenet_stack,
     wavenet_stack_reference,
 )
+from parallelwavegan_tpu.ops.pallas.wavenet_stack_train import (
+    wavenet_stack_train,
+)
 
 
 def supports_fused_inference(gen) -> bool:
@@ -53,6 +56,7 @@ def pwg_fused_forward(
     chunk: int = 16384,
     use_kernel: bool = True,
     interpret: bool = False,
+    trainable: bool = False,
 ) -> jnp.ndarray:
     """Batched fused forward: z (B, T, 1), c (B, T'+2*ctx, A) -> (B, T, out).
 
@@ -60,8 +64,20 @@ def pwg_fused_forward(
     `variables` its params (weight-normed or folded — both handled).
     Groups default to one dilation cycle so every kernel call has the same
     halo (sum of one cycle's dilations).
+
+    trainable=True routes the stack through wavenet_stack_train (the
+    custom-VJP kernel pair) so the whole function is differentiable in
+    `variables` — use this inside jitted train steps. Everything outside
+    the stack (weight-norm folds, upsample net, 1x1 convs) is plain JAX and
+    differentiates as usual.
     """
     assert supports_fused_inference(gen), "config not supported by fused path"
+    if trainable and (chunk is None or chunk <= 0):
+        # auto: even chunks near 6400 (measured best on v5e: bigger chunks
+        # spill the backward kernel's VMEM, smaller ones waste halo compute)
+        T = z.shape[1]
+        n = -(-T // 6656)
+        chunk = -(-(-(-T // n)) // 128) * 128
     p = variables["params"]
     if c is not None and gen.upsample_conditional_features:
         up = gen.make_upsample_module()
@@ -73,21 +89,28 @@ def pwg_fused_forward(
     lpc = L // gen.stacks
     dils = [2 ** (i % lpc) for i in range(L)]
     if group_size is None:
-        # all layers in ONE kernel call when the halo stays a small
-        # fraction of the chunk: one window gather + one skip output
-        # instead of one per dilation cycle (938 vs 901 audio-s/s on v5e
-        # for PWG v1); fall back to per-cycle groups for huge dilations
-        group_size = L if sum(dils) <= chunk // 4 else min(lpc, 10)
+        if trainable:
+            # per-cycle groups bound the backward kernel's VMEM footprint
+            # (temporaries scale with chunk + 2*sum(group dilations))
+            group_size = min(lpc, 10)
+        else:
+            # all layers in ONE kernel call when the halo stays a small
+            # fraction of the chunk: one window gather + one skip output
+            # instead of one per dilation cycle (938 vs 901 audio-s/s on
+            # v5e for PWG v1); per-cycle groups for huge dilations
+            group_size = L if sum(dils) <= chunk // 4 else min(lpc, 10)
     skip_total = None
     for g0 in range(0, L, group_size):
         idx = list(range(g0, min(g0 + group_size, L)))
         w = fuse_wavenet_stack_params(p, idx)
         w = jax.tree.map(lambda a: a.astype(x.dtype), w)
         d = tuple(dils[i] for i in idx)
-        if use_kernel:
-            x, sk = wavenet_stack(x, c, w, d, chunk=chunk, interpret=interpret)
-        else:
+        if not use_kernel:
             x, sk = wavenet_stack_reference(x, c, w, d)
+        elif trainable:
+            x, sk = wavenet_stack_train(x, c, w, d, chunk, interpret)
+        else:
+            x, sk = wavenet_stack(x, c, w, d, chunk=chunk, interpret=interpret)
         skip_total = sk if skip_total is None else skip_total + sk
 
     xs = (skip_total * math.sqrt(1.0 / L)).astype(x.dtype)

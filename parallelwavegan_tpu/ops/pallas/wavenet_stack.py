@@ -114,9 +114,14 @@ def _stack_kernel(
     dil_ref,  # scalar-prefetch (L,) int32 dilations
     x_ref, c_ref, w_tap_ref, b_tap_ref, w_aux_ref, w_so_ref, b_so_ref,
     xout_ref, skip_ref,
-    xpad,  # f32 scratch (pad + TB + pad, R): residual state + zero edges
-    *, halo, chunk, pad, n_chunks, n_layers, t_len, out_dtype,
+    *rest,  # [xs_ref when save_inputs] + xpad scratch
+    halo, chunk, pad, n_chunks, n_layers, t_len, out_dtype,
+    save_inputs=False,
 ):
+    if save_inputs:
+        xs_ref, xpad = rest
+    else:
+        (xpad,) = rest
     R = x_ref.shape[-1]
     tb = x_ref.shape[1]
     SR = w_so_ref.shape[-1]
@@ -135,6 +140,10 @@ def _stack_kernel(
         xpad[pl.ds(pad, tb)] = x_ref[0].astype(f32)
         xpad[pl.ds(pad + tb, pad)] = jnp.zeros((pad, R), f32)
         skip_ref[0] = jnp.zeros_like(skip_ref[0])
+
+    if save_inputs:
+        # stash this layer's input window for the backward kernel
+        xs_ref[0, 0] = xpad[pl.ds(pad, tb)].astype(xs_ref.dtype)
 
     d = dil_ref[l]
     x = xpad[pl.ds(pad, tb)]
@@ -179,7 +188,8 @@ def _overlapping_windows(x: jnp.ndarray, halo: int, chunk: int, n_chunks: int):
 
 @partial(
     jax.jit,
-    static_argnames=("dilations", "chunk", "skip_f32", "interpret"),
+    static_argnames=("dilations", "chunk", "skip_f32", "interpret",
+                     "save_inputs"),
 )
 def wavenet_stack(
     x: jnp.ndarray,
@@ -190,12 +200,17 @@ def wavenet_stack(
     chunk: int = 4096,
     skip_f32: bool = True,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    save_inputs: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Run a fused group of WaveNet layers.
 
     x (B, T, R) residual input; c (B, T, A) upsampled conditioning (both any
     float dtype; compute accumulates in f32). Returns (x_out (B, T, R) same
     dtype as x, skip_sum (B, T, S) f32 by default).
+
+    With save_inputs=True additionally returns the per-layer input windows
+    xs (B*n_chunks, L, chunk+2*halo, R) f32 — the residuals consumed by the
+    backward kernel in wavenet_stack_train.py.
     """
     B, T, R = x.shape
     A = c.shape[-1]
@@ -225,6 +240,22 @@ def wavenet_stack(
 
     skip_dtype = jnp.float32 if skip_f32 else x.dtype
     flops_per_t = 2 * L * (3 * R * G + A * G + R * SR)
+    out_specs = [
+        pl.BlockSpec((1, chunk, R), lambda i, l, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk, S), lambda i, l, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B * n_chunks, chunk, R), x.dtype),
+        jax.ShapeDtypeStruct((B * n_chunks, chunk, S), skip_dtype),
+    ]
+    if save_inputs:
+        out_specs.append(
+            pl.BlockSpec((1, 1, tb, R), lambda i, l, *_: (i, l, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B * n_chunks, L, tb, R), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * n_chunks, L),
@@ -237,10 +268,7 @@ def wavenet_stack(
             pl.BlockSpec((1, R, SR), lambda i, l, *_: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, SR), lambda i, l, *_: (l, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, chunk, R), lambda i, l, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, S), lambda i, l, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((pad + tb + pad, R), jnp.float32)],
     )
     out = pl.pallas_call(
@@ -253,12 +281,10 @@ def wavenet_stack(
             n_layers=L,
             t_len=T,
             out_dtype=skip_dtype,
+            save_inputs=save_inputs,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * n_chunks, chunk, R), x.dtype),
-            jax.ShapeDtypeStruct((B * n_chunks, chunk, S), skip_dtype),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -274,6 +300,8 @@ def wavenet_stack(
     )
     x_out = out[0].reshape(B, t_pad, R)[:, :T]
     skip = out[1].reshape(B, t_pad, S)[:, :T]
+    if save_inputs:
+        return x_out, skip, out[2]
     return x_out, skip
 
 

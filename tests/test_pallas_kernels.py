@@ -68,6 +68,84 @@ def test_pwg_fused_forward_matches_flax_model():
     np.testing.assert_allclose(y_pl, y_ref, atol=1e-4)
 
 
+def test_wavenet_stack_train_grads_match_reference():
+    from parallelwavegan_tpu.ops.pallas.wavenet_stack_train import (
+        wavenet_stack_train,
+    )
+
+    rng = np.random.default_rng(1)
+    L, R, G, A, S = 4, 16, 32, 12, 16
+    dils = (1, 2, 4, 1)
+    B, T, chunk = 2, 300, 128
+    w = _random_stack_params(rng, L, R, G, A, S)
+    x = jnp.asarray(rng.standard_normal((B, T, R)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, T, A)), jnp.float32)
+    # random output weighting exercises both outputs' cotangents
+    ux = jnp.asarray(rng.standard_normal((B, T, R)), jnp.float32)
+    us = jnp.asarray(rng.standard_normal((B, T, S)), jnp.float32)
+
+    def loss(fn):
+        def f(x, c, w):
+            xo, sk = fn(x, c, w)
+            return jnp.sum(xo * ux) + jnp.sum(sk * us)
+        return f
+
+    ref = loss(lambda x, c, w: wavenet_stack_reference(x, c, w, dils))
+    ker = loss(
+        lambda x, c, w: wavenet_stack_train(x, c, w, dils, chunk, True)
+    )
+    v_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(x, c, w)
+    v_ker, g_ker = jax.value_and_grad(ker, argnums=(0, 1, 2))(x, c, w)
+    np.testing.assert_allclose(v_ker, v_ref, rtol=1e-5)
+    for a, b, name in [
+        (g_ker[0], g_ref[0], "dx"),
+        (g_ker[1], g_ref[1], "dc"),
+    ]:
+        np.testing.assert_allclose(a, b, atol=3e-4, err_msg=name)
+    for k in g_ref[2]:
+        np.testing.assert_allclose(
+            g_ker[2][k], g_ref[2][k], atol=3e-3, err_msg=k
+        )
+
+
+def test_pwg_fused_train_forward_grads_match_flax():
+    from parallelwavegan_tpu.ops.pallas.pwg_infer import pwg_fused_forward
+
+    g = ParallelWaveGANGenerator(
+        layers=6, stacks=2, residual_channels=16, gate_channels=32,
+        skip_channels=16, aux_channels=20, aux_context_window=2,
+        upsample_params={"upsample_scales": [2, 2]},
+    )
+    rng = jax.random.key(0)
+    B, Tf = 2, 30
+    nprng = np.random.default_rng(0)
+    c = jnp.asarray(nprng.standard_normal((B, Tf + 4, 20)), jnp.float32)
+    z = jnp.asarray(nprng.standard_normal((B, Tf * 4, 1)), jnp.float32)
+    v = g.init({"params": rng}, z, c)
+    u = jnp.asarray(nprng.standard_normal((B, Tf * 4, 1)), jnp.float32)
+
+    def loss_flax(v):
+        return jnp.sum(g.apply(v, z, c) * u)
+
+    def loss_fused(v):
+        y = pwg_fused_forward(g, v, z, c, trainable=True, chunk=64,
+                              interpret=True)
+        return jnp.sum(y * u)
+
+    v_ref, g_ref = jax.value_and_grad(loss_flax)(v)
+    v_fus, g_fus = jax.value_and_grad(loss_fused)(v)
+    np.testing.assert_allclose(v_fus, v_ref, rtol=1e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fus = dict(jax.tree_util.tree_leaves_with_path(g_fus))
+    assert len(flat_ref) == len(flat_fus)
+    for path, a in flat_ref:
+        b = flat_fus[path]
+        np.testing.assert_allclose(
+            b, a, atol=5e-3, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_fused_path_rejects_unsupported_configs():
     g = ParallelWaveGANGenerator(kernel_size=5)
     assert not supports_fused_inference(g)
