@@ -28,6 +28,30 @@ import time
 import numpy as np
 
 
+def _steady_state_time(run_once, n_warm: int = 20, n: int = 20) -> float:
+    """Per-iteration wall time of run_once(i) (must return a device scalar).
+
+    Warms with n_warm dispatches first: the tunneled TPU executes the first
+    ~20 runs of a freshly loaded program slower (measured 1.5-3x on the
+    MB-MelGAN graph), so one post-compile call is not a sufficient warm-up.
+    Then times n async dispatches ending in ONE device->host readback (a
+    readback costs ~30 ms through the tunnel; per-iteration readbacks would
+    understate throughput).
+    """
+    acc = None
+    for i in range(n_warm):
+        s = run_once(i)
+        acc = s if acc is None else acc + s
+    float(acc)
+    tic = time.perf_counter()
+    acc = None
+    for i in range(n):
+        s = run_once(i)
+        acc = s if acc is None else acc + s
+    float(acc)
+    return (time.perf_counter() - tic) / n
+
+
 def main():
     import jax
 
@@ -41,8 +65,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
-    if os.environ.get("BENCH_MODE") == "train":
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "train":
         return train_bench()
+    if mode in ("melgan", "mb_melgan", "hifigan", "style_melgan"):
+        return family_bench(mode)
 
     from parallelwavegan_tpu.models import ParallelWaveGANGenerator
     from parallelwavegan_tpu.ops.pallas.pwg_infer import pwg_fused_forward
@@ -81,22 +108,12 @@ def main():
             pwg_fused_forward(generator, v, z, c, use_kernel=use_kernel)
         )
     )
-    float(fwd(variables, z, cs[0]))  # compile + warm up
+    float(fwd(variables, z, cs[0]))  # compile
 
-    # dispatch all iterations asynchronously and read back ONE scalar at the
-    # end: a device->host readback through the tunneled TPU costs ~30 ms, so
-    # a per-iteration readback would understate throughput by ~10%
-    n_iters = 2 * (len(cs) - 1)
-    tic = time.perf_counter()
-    acc = None
-    for c in cs[1:] + cs[1:]:
-        s = fwd(variables, z, c)
-        acc = s if acc is None else acc + s
-    float(acc)
-    elapsed = time.perf_counter() - tic
-
-    audio_seconds = n_iters * batch * frames * hop / sr
-    value = audio_seconds / elapsed
+    elapsed = _steady_state_time(
+        lambda i: fwd(variables, z, cs[1 + i % (len(cs) - 1)])
+    )
+    value = batch * frames * hop / sr / elapsed
     baseline = 62.5  # reference PWG decode RTF 0.016 on TITAN V
     print(
         json.dumps(
@@ -108,6 +125,101 @@ def main():
             }
         )
     )
+
+
+_FAMILY_CONFIGS = {
+    # mode -> (LJSpeech config, reference baseline audio-s/s or None)
+    # baselines = 1/RTF of the reference's published TITAN V decode RTFs
+    # (README.md:148-183); HiFiGAN/StyleMelGAN have no published RTF.
+    "melgan": ("melgan.v1.yaml", 500.0),
+    "mb_melgan": ("multi_band_melgan.v2.yaml", 1000.0),
+    "hifigan": ("hifigan.v1.yaml", None),
+    "style_melgan": ("style_melgan.v1.yaml", None),
+}
+
+
+def family_bench(mode: str):
+    """Batched copy-synthesis throughput for the other model families,
+    full decode math (incl. PQMF synthesis for multi-band outputs)."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from parallelwavegan_tpu.layers.pqmf import PQMF
+    from parallelwavegan_tpu.models import get_model_class
+
+    conf, baseline = _FAMILY_CONFIGS[mode]
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "egs/ljspeech/voc1/conf", conf)) as f:
+        cfg = yaml.safe_load(f)
+    sr = cfg["sampling_rate"]
+    gp = cfg["generator_params"]
+    gen = get_model_class(cfg["generator_type"])(**gp)
+    out_channels = gp.get("out_channels", 1)
+    pqmf = PQMF(subbands=out_channels) if out_channels > 1 else None
+
+    batch, frames = 32, 512
+    # StyleMelGAN consumes mel on the noise-upsample grid (x88): round the
+    # mel length up to the grid like inference() does
+    grid = int(getattr(gen, "noise_upsample_factor", 1) or 1)
+    frames = -(-frames // grid) * grid
+    init_frames = -(-16 // grid) * grid
+    dtype = jnp.bfloat16
+    rng = jax.random.key(0)
+    num_mels = gp.get("in_channels", gp.get("aux_channels", 80))
+    cs = [
+        jnp.asarray(
+            np.random.default_rng(s).standard_normal(
+                (batch, frames, num_mels)
+            ),
+            dtype,
+        )
+        for s in range(3)
+    ]
+    init_rngs = {"params": rng, "noise": jax.random.key(1)}
+    # StyleMelGAN: noise z spans c's frames on the x88 grid (c = z_len * 88)
+    z = (
+        jnp.asarray(
+            np.random.default_rng(7).standard_normal(
+                (batch, frames // grid, gp["in_channels"])
+            ),
+            dtype,
+        )
+        if grid > 1
+        else None
+    )
+    init_args = (cs[0][:1, :init_frames].astype(jnp.float32),) + (
+        (z[:1, : init_frames // grid].astype(jnp.float32),)
+        if z is not None
+        else ()
+    )
+    variables = gen.init(init_rngs, *init_args)
+    variables = jax.tree.map(lambda x: x.astype(dtype), variables)
+
+    def synth(v, c):
+        args = (c,) if z is None else (c, z)
+        y = gen.apply(v, *args, rngs={"noise": jax.random.key(2)})
+        if pqmf is not None:
+            y = pqmf.synthesis(y)
+        return y
+
+    samples_per_call = int(
+        np.prod(jax.eval_shape(synth, variables, cs[0]).shape)
+    )
+    f = jax.jit(lambda v, c: jnp.sum(synth(v, c)))
+    float(f(variables, cs[0]))  # compile
+
+    elapsed = _steady_state_time(lambda i: f(variables, cs[1 + i % 2]))
+    value = samples_per_call / sr / elapsed
+    result = {
+        "metric": f"{mode}_synthesis_audio_seconds_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": (
+            round(value / baseline, 3) if baseline is not None else None
+        ),
+    }
+    print(json.dumps(result))
 
 
 def train_bench():
@@ -123,11 +235,14 @@ def train_bench():
     from parallelwavegan_tpu.engine.step import build_steps
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(
-        os.path.join(
-            here, "egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml"
-        )
-    ) as f:
+    # BENCH_CONFIG selects the training config (any recipe YAML); the
+    # published-training-time baseline only exists for the default PWG v1
+    conf = os.environ.get(
+        "BENCH_CONFIG", "egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml"
+    )
+    is_default = conf.endswith("parallel_wavegan.v1.yaml")
+    name = os.path.splitext(os.path.basename(conf))[0].replace(".", "_")
+    with open(os.path.join(here, conf)) as f:
         cfg = yaml.safe_load(f)
     rng = jax.random.key(0)
     state, g, d, og, od = init_train_state(cfg, rng)
@@ -139,9 +254,13 @@ def train_bench():
         for k, v in example_batch(cfg, batch_size=cfg["batch_size"]).items()
     }
     state, m = step(state, batch, rng)
-    float(m["generator_loss"])  # compile + warm up
-    # async dispatch, one readback at the end (see the synthesis bench note)
-    n = 8
+    float(m["generator_loss"])  # compile
+    # warm up then time (see _steady_state_time; state threads through, so
+    # the loop is inlined — the final loss readback syncs the whole chain)
+    for _ in range(12):
+        state, m = step(state, batch, rng)
+    float(m["generator_loss"])
+    n = 16
     tic = time.perf_counter()
     for _ in range(n):
         state, m = step(state, batch, rng)
@@ -152,10 +271,16 @@ def train_bench():
     print(
         json.dumps(
             {
-                "metric": "pwg_v1_train_steps_per_sec_per_chip",
+                "metric": (
+                    "pwg_v1_train_steps_per_sec_per_chip"
+                    if is_default
+                    else f"{name}_train_steps_per_sec_per_chip"
+                ),
                 "value": round(value, 2),
                 "unit": "steps/s",
-                "vs_baseline": round(value / baseline, 3),
+                "vs_baseline": (
+                    round(value / baseline, 3) if is_default else None
+                ),
             }
         )
     )
