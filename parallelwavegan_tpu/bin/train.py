@@ -235,7 +235,9 @@ def build_loader(config, dataset, seed, num_shards, shard_index):
         seed=seed,
         num_shards=num_shards,
         shard_index=shard_index,
-        prefetch=2,
+        # reference configs carry num_workers (torch DataLoader workers);
+        # map it onto the prefetch-queue depth (pin_memory has no TPU analogue)
+        prefetch=max(2, min(int(config.get("num_workers", 2) or 0), 8)),
     )
 
 

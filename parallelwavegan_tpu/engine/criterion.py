@@ -46,10 +46,14 @@ def build_criterion(config: Dict[str, Any]) -> Dict[str, Any]:
         c["feat_match"] = FeatureMatchLoss(
             **config.get("feat_match_loss_params", {})
         )
-    if config.get("use_duration_prediction", False) or (
-        "Duration" in config.get("generator_type", "")
+    if (
+        config.get("use_duration_prediction", False)
+        or config.get("use_duration_loss", False)  # reference key name
+        or "Duration" in config.get("generator_type", "")
     ):
-        c["duration"] = DurationPredictorLoss()
+        c["duration"] = DurationPredictorLoss(
+            **(config.get("duration_loss_params") or {})
+        )
     out_ch = config.get("generator_params", {}).get("out_channels", 1)
     if out_ch > 1 or config.get("generator_type", "") == "VQVAE":
         c["pqmf"] = PQMF(

@@ -250,7 +250,8 @@ class Trainer:
             )
             os.makedirs(dirname, exist_ok=True)
             sr = self.config.get("sampling_rate", 22050)
-            for idx in range(min(4, len(y))):
+            n_dump = self.config.get("num_save_intermediate_results", 4)
+            for idx in range(min(n_dump, len(y))):
                 write_wav(
                     os.path.join(dirname, f"{idx}_ref.wav"), y[idx, :, 0], sr
                 )

@@ -286,3 +286,19 @@ def test_mixed_precision_train_step():
         losses[mp] = gl
     # bf16 forward must track the f32 loss closely
     assert abs(losses[True] - losses[False]) / abs(losses[False]) < 0.05
+
+
+def test_reference_compat_config_keys():
+    """Reference YAML key names (bin/train.py:1496-1507) must be honored:
+    use_duration_loss / duration_loss_params select the duration criterion."""
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+
+    c = build_criterion(
+        {"use_duration_loss": True, "duration_loss_params": {"offset": 2.0}}
+    )
+    assert c["duration"].offset == 2.0
+    # null params (reference sets duration_loss_params: null in some configs)
+    c = build_criterion({"use_duration_loss": True,
+                         "duration_loss_params": None})
+    assert c["duration"].offset == 1.0
+    assert "duration" not in build_criterion({})
