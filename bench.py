@@ -81,7 +81,8 @@ def main():
         skip_channels=64, aux_channels=80, aux_context_window=2,
         upsample_params={"upsample_scales": [4, 4, 4, 4]},
     )
-    batch, frames = 32, 512
+    batch = int(os.environ.get("BENCH_BATCH", 32))
+    frames = int(os.environ.get("BENCH_FRAMES", 512))
     dtype = jnp.bfloat16
     rng = jax.random.key(0)
     cs = [
@@ -158,7 +159,10 @@ def family_bench(mode: str):
     out_channels = gp.get("out_channels", 1)
     pqmf = PQMF(subbands=out_channels) if out_channels > 1 else None
 
-    batch, frames = 32, 512
+    # batch 128 ~2x batch 32 throughput here: the tunneled chip has a ~1.5 ms
+    # per-op dispatch floor, so larger per-op work amortizes it
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    frames = int(os.environ.get("BENCH_FRAMES", 512))
     # StyleMelGAN consumes mel on the noise-upsample grid (x88): round the
     # mel length up to the grid like inference() does
     grid = int(getattr(gen, "noise_upsample_factor", 1) or 1)
