@@ -248,6 +248,8 @@ def train_bench():
     name = os.path.splitext(os.path.basename(conf))[0].replace(".", "_")
     with open(os.path.join(here, conf)) as f:
         cfg = yaml.safe_load(f)
+    if os.environ.get("BENCH_MP"):  # bf16 compute, f32 master params
+        cfg["mixed_precision"] = True
     rng = jax.random.key(0)
     state, g, d, og, od = init_train_state(cfg, rng)
     criterion = build_criterion(cfg)
