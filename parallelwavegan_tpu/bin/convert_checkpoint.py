@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
-"""Convert a reference torch checkpoint (.pkl) into this framework's
-checkpoint format — the bridge to the reference's 36-model pretrained zoo
+"""Convert checkpoints between this framework and the reference toolkit.
+
+Default direction: reference torch .pkl -> our .ckpt — the bridge to the
+reference's 36-model pretrained zoo
 (/root/reference/parallel_wavegan/utils/utils.py:22-58): download any
-reference tag with the reference tooling, then convert here."""
+reference tag with the reference tooling, then convert here.
+
+--to-reference: our .ckpt -> reference-loadable .pkl (generator only), so a
+model trained on TPU can be served by the reference toolkit / ESPnet via
+its `utils.load_model`."""
 
 from __future__ import annotations
 
@@ -28,6 +34,9 @@ def main():
     parser.add_argument("--config", type=str, default=None,
                         help="config.yml (defaults to the one next to ckpt)")
     parser.add_argument("--outdir", type=str, required=True)
+    parser.add_argument("--to-reference", action="store_true",
+                        help="export our .ckpt to a reference torch .pkl "
+                             "(generator only) instead of importing")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -40,6 +49,24 @@ def main():
         os.path.dirname(args.checkpoint), "config.yml"
     )
     config = load_config(config_path)
+
+    if args.to_reference:
+        from parallelwavegan_tpu.engine.checkpoint import load_checkpoint
+        from parallelwavegan_tpu.utils.torch_export import (
+            save_reference_checkpoint,
+        )
+
+        template = jax.eval_shape(
+            lambda: init_train_state(config, jax.random.key(0))[0]
+        )
+        state = load_checkpoint(args.checkpoint, template)
+        steps = int(state.steps)
+        os.makedirs(args.outdir, exist_ok=True)
+        out = os.path.join(args.outdir, f"checkpoint-{steps}steps.pkl")
+        save_reference_checkpoint(out, state.params_g, config, steps=steps)
+        save_config(os.path.join(args.outdir, "config.yml"), config)
+        logging.info(f"Exported {args.checkpoint} -> {out}")
+        return
 
     imported = load_reference_checkpoint(args.checkpoint, config)
     state, *_ = init_train_state(config, jax.random.key(0))

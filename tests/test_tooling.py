@@ -175,3 +175,51 @@ def test_wav_scp_command_pipe(tmp_path):
     piped, rate = reader["rec1"]
     assert rate == sr and len(piped) == sr
     np.testing.assert_allclose(piped, wave, atol=2.0 / 32767)
+
+
+def test_convert_checkpoint_to_reference_direction(tmp_path, monkeypatch):
+    """ckpt -> --to-reference .pkl must load via OUR .pkl loader too and
+    synthesize identically (full CLI round trip)."""
+    pytest.importorskip("torch")
+    import yaml
+
+    import jax
+
+    from parallelwavegan_tpu.bin import convert_checkpoint
+    from parallelwavegan_tpu.engine.build import init_train_state
+    from parallelwavegan_tpu.engine.checkpoint import save_checkpoint
+    from parallelwavegan_tpu.utils.model_loader import load_model
+
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": {
+            "in_channels": 20, "out_channels": 1, "channels": 32,
+            "stacks": 2, "upsample_scales": [4, 4],
+        },
+        "discriminator_type": "MelGANMultiScaleDiscriminator",
+        "discriminator_params": {"scales": 2},
+        "hop_size": 16, "num_mels": 20, "batch_max_steps": 256,
+        "sampling_rate": 8000, "format": "hdf5",
+    }
+    import jax.numpy as jnp
+
+    state, *_ = init_train_state(config, jax.random.key(7))
+    state = state.replace(steps=jnp.asarray(42, jnp.int32))
+    ckpt = str(tmp_path / "checkpoint-42steps.ckpt")
+    save_checkpoint(ckpt, state)
+    with open(tmp_path / "config.yml", "w") as f:
+        yaml.dump(config, f)
+
+    outdir = str(tmp_path / "exported")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prog", "--checkpoint", ckpt, "--outdir", outdir, "--to-reference"],
+    )
+    convert_checkpoint.main()
+    pkl = os.path.join(outdir, "checkpoint-42steps.pkl")
+    assert os.path.exists(pkl)
+
+    mel = np.random.default_rng(5).standard_normal((20, 20)).astype(np.float32)
+    y_ckpt = load_model(ckpt, config).inference(mel)
+    y_pkl = load_model(pkl, config).inference(mel)
+    np.testing.assert_allclose(y_ckpt, y_pkl, rtol=1e-5, atol=1e-6)
