@@ -57,9 +57,11 @@ def length_regulator(
     """Expand (B, T, C) by per-symbol durations (B, T) to (B, max_len, C).
 
     Returns (expanded, mask) where mask (B, max_len) marks valid frames.
-    Static output length; positions beyond sum(durations) repeat the last
-    symbol and are masked. All-zero duration rows fall back to duration 1
-    (matching the reference's guard, length_regulator.py:79-87).
+    Static output length; positions beyond sum(durations) are ZERO-filled
+    (the reference pads regulated batches with zeros — pad_list in
+    length_regulator.py — and downstream convs see those zeros, so the fill
+    value is observable through their receptive fields). All-zero duration
+    rows fall back to duration 1 (reference guard, length_regulator.py:79-87).
     """
     total = jnp.sum(durations, axis=1, keepdims=True)  # (B, 1)
     durations = jnp.where(total == 0, jnp.ones_like(durations), durations)
@@ -70,6 +72,7 @@ def length_regulator(
     idx = jnp.minimum(idx, x.shape[1] - 1)
     expanded = jnp.take_along_axis(x, idx[:, :, None], axis=1)
     mask = jnp.arange(max_len)[None, :] < jnp.sum(durations, axis=1)[:, None]
+    expanded = jnp.where(mask[:, :, None], expanded, 0.0)
     return expanded, mask
 
 

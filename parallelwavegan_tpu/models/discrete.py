@@ -48,6 +48,10 @@ class _HiFiGANTrunk(nn.Module):
     nonlinear_activation: str = "LeakyReLU"
     nonlinear_activation_params: Optional[Dict[str, Any]] = None
     use_weight_norm: bool = True
+    # the F0 variant re-declares input_conv as a plain torch Conv1d AFTER
+    # weight norm is applied, so it is never weight-normed there
+    # (reference hifigan.py:1393-1400)
+    input_conv_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, c, deterministic: bool = True):
@@ -59,7 +63,11 @@ class _HiFiGANTrunk(nn.Module):
         conv_kw = dict(use_weight_norm=self.use_weight_norm, kernel_init=kinit)
         c = Conv1d(
             self.channels, self.kernel_size,
-            padding=(self.kernel_size - 1) // 2, name="input_conv", **conv_kw,
+            padding=(self.kernel_size - 1) // 2, name="input_conv",
+            use_weight_norm=(
+                self.use_weight_norm and self.input_conv_weight_norm
+            ),
+            kernel_init=kinit,
         )(c, deterministic)
         num_blocks = len(self.resblock_kernel_sizes)
         for i, (s, k_up) in enumerate(
@@ -157,6 +165,10 @@ class DiscreteSymbolHiFiGANGenerator(_TokenEmbedBase):
     nonlinear_activation_params: Optional[Dict[str, Any]] = None
     use_weight_norm: bool = True
 
+    # the F0 subclass sets this False to mirror the reference's re-declared
+    # plain input conv (hifigan.py:1393-1400)
+    _input_conv_weight_norm: bool = True
+
     def _trunk(self):
         return _HiFiGANTrunk(
             out_channels=self.out_channels,
@@ -171,6 +183,7 @@ class DiscreteSymbolHiFiGANGenerator(_TokenEmbedBase):
             nonlinear_activation=self.nonlinear_activation,
             nonlinear_activation_params=self.nonlinear_activation_params,
             use_weight_norm=self.use_weight_norm,
+            input_conv_weight_norm=self._input_conv_weight_norm,
             name="trunk",
         )
 
@@ -228,6 +241,7 @@ class DiscreteSymbolF0Generator(DiscreteSymbolHiFiGANGenerator):
     layer_num: int = 12
     use_fix_weight: bool = False
     use_f0: bool = True
+    _input_conv_weight_norm: bool = False  # reference hifigan.py:1393-1400
 
     @nn.compact
     def __call__(self, c, f0=None, deterministic: bool = True):

@@ -258,6 +258,141 @@ def _style_melgan_generator_rule(config):
     return rule
 
 
+def _token_embed_rule(config: Dict[str, Any]):
+    """emb/spk_emb heads shared by the DiscreteSymbol* generators
+    (reference hifigan.py:907-921, style_melgan.py:413-419)."""
+    num_spk = config.get("num_spk_embs", 128)
+
+    def rule(key):
+        if key == "emb":
+            return "emb", "embedding"
+        if key == "spk_emb":
+            # reference constructs spk_emb unconditionally; only map it when
+            # the config actually routes speaker ids through it
+            return ("spk_emb", "embedding") if num_spk > 0 else None
+        m = re.match(r"^emb\.(\d+)$", key)
+        if m:  # per-HuBERT-layer embeddings (weight-sum mode, hifigan.py:1431)
+            return f"emb_{m.group(1)}", "embedding"
+        return None
+
+    return rule
+
+
+def _discrete_hifigan_rule(config: Dict[str, Any]):
+    token = _token_embed_rule(config)
+    trunk = _hifigan_generator_rule(config)
+
+    def rule(key):
+        sub = token(key)
+        if sub:
+            return sub
+        sub = trunk(key)
+        if sub:
+            return f"trunk/{sub[0]}", sub[1]
+        return None
+
+    return rule
+
+
+def _discrete_duration_rule(config: Dict[str, Any]):
+    base = _discrete_hifigan_rule(config)
+
+    def rule(key):
+        m = re.match(r"^duration_predictor\.conv\.(\d+)\.0$", key)
+        if m:
+            return f"duration_predictor/conv_{m.group(1)}", "conv1d"
+        m = re.match(r"^duration_predictor\.conv\.(\d+)\.2$", key)
+        if m:  # dim-selectable LayerNorm (layers/layer_norm.py)
+            return f"duration_predictor/norm_{m.group(1)}", "norm"
+        if key == "duration_predictor.linear":
+            return "duration_predictor/linear", "dense"
+        return base(key)
+
+    return rule
+
+
+def _discrete_f0_rule(config: Dict[str, Any]):
+    base = _discrete_hifigan_rule(config)
+
+    def rule(key):
+        if key == "f0_embedding":
+            return "f0_embedding", "dense"
+        if key == "weights":  # layer weight-sum logits (hifigan.py:1443)
+            return "weights", "param"
+        return base(key)
+
+    return rule
+
+
+def _discrete_style_melgan_rule(config: Dict[str, Any]):
+    token = _token_embed_rule(config)
+    trunk = _style_melgan_generator_rule(config)
+
+    def rule(key):
+        sub = token(key)
+        if sub:
+            return sub
+        sub = trunk(key)
+        if sub:
+            return f"trunk/{sub[0]}", sub[1]
+        return None
+
+    return rule
+
+
+def _uhifigan_generator_rule(config: Dict[str, Any]):
+    def rule(key):
+        if key == "input_conv.0":
+            return "input_conv", "conv1d"
+        if key == "hidden_conv":
+            return "hidden_conv", "conv1d"
+        if key == "output_conv.1":
+            return "output_conv", "conv1d"
+        m = re.match(r"^downsamples\.(\d+)\.0$", key)
+        if m:
+            return f"downsamples_{m.group(1)}", "conv1d"
+        m = re.match(r"^upsamples\.(\d+)\.1$", key)
+        if m:
+            return f"upsamples_{m.group(1)}", "convt1d"
+        m = re.match(
+            r"^(downsamples_mrf|upsamples_mrf)\.(\d+)\.(convs1|convs2)\.(\d+)\.1$",
+            key,
+        )
+        if m:
+            return (
+                f"{m.group(1)}_{m.group(2)}/{m.group(3)}_{m.group(4)}",
+                "conv1d",
+            )
+        return None
+
+    return rule
+
+
+def _vqvae_rule(config: Dict[str, Any]):
+    decoder_conf = config.get("decoder_conf", {}) or {}
+    dec_map = _melgan_sequential_map(decoder_conf)
+    enc = _melgan_discriminator_rules()
+
+    def rule(key):
+        if key == "codebook.embedding":
+            return "codebook", "embedding"
+        if key == "local_embed":
+            return "local_embed", "conv1d"
+        if key == "global_embed":
+            return "global_embed", "embedding"
+        if key.startswith("encoder."):
+            sub = enc(key[len("encoder."):])
+            if sub:
+                return f"encoder/{sub[0]}", sub[1]
+        if key.startswith("decoder."):
+            sub = dec_map.get(key[len("decoder."):])
+            if sub:
+                return f"decoder/{sub[0]}", sub[1]
+        return None
+
+    return rule
+
+
 def _rule_for(model_name: str, config: Dict[str, Any]):
     if model_name == "ParallelWaveGANGenerator":
         return _pwg_generator_rule(config)
@@ -288,6 +423,18 @@ def _rule_for(model_name: str, config: Dict[str, Any]):
         return _style_melgan_generator_rule(config)
     if model_name == "StyleMelGANDiscriminator":
         return _multi(_melgan_discriminator_rules())
+    if model_name == "DiscreteSymbolHiFiGANGenerator":
+        return _discrete_hifigan_rule(config)
+    if model_name == "DiscreteSymbolDurationGenerator":
+        return _discrete_duration_rule(config)
+    if model_name == "DiscreteSymbolF0Generator":
+        return _discrete_f0_rule(config)
+    if model_name == "DiscreteSymbolStyleMelGANGenerator":
+        return _discrete_style_melgan_rule(config)
+    if model_name == "UHiFiGANGenerator":
+        return _uhifigan_generator_rule(config)
+    if model_name == "VQVAE":
+        return _vqvae_rule(config)
     raise KeyError(f"no importer rules for {model_name}")
 
 
@@ -307,6 +454,9 @@ def _convert(kind: str, name: str, w: np.ndarray) -> Tuple[str, np.ndarray]:
     elif kind == "dense":
         perm = (1, 0)
     elif kind == "embedding":
+        # torch nn.Embedding weight -> flax nn.Embed "embedding" (same layout)
+        if name == "weight":
+            return "embedding", w
         perm = None
     elif kind == "norm":
         return ("scale" if name == "weight" else name), w
@@ -358,6 +508,14 @@ def import_model_params(
         # (spectral-norm u), so never alias torch storage
         w = np.array(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
                      else tensor, dtype=np.float32, copy=True)
+        # bare top-level parameters (e.g. the F0 generator's layer-sum
+        # `weights`, hifigan.py:1443) have no module prefix: match the whole
+        # key and store directly
+        if "." not in key:
+            direct = rule(key)
+            if direct is not None and direct[1] == "param":
+                params[direct[0]] = w
+                continue
         if "." in key:
             prefix, leaf = key.rsplit(".", 1)
         else:
