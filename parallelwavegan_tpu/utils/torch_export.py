@@ -119,11 +119,155 @@ def _style_melgan_generator_inverse(config: Dict[str, Any]):
     return rule
 
 
+def _token_embed_inverse(config: Dict[str, Any]):
+    def rule(path: str):
+        if path in ("emb", "spk_emb"):
+            return path, "embedding"
+        m = re.match(r"^emb_(\d+)$", path)
+        if m:
+            return f"emb.{m.group(1)}", "embedding"
+        return None
+
+    return rule
+
+
+def _with_trunk(token_rule, trunk_rule):
+    def rule(path: str):
+        sub = token_rule(path)
+        if sub:
+            return sub
+        if path.startswith("trunk/"):
+            sub = trunk_rule(path[len("trunk/"):])
+            if sub:
+                return sub
+        return None
+
+    return rule
+
+
+def _discrete_hifigan_inverse(config: Dict[str, Any]):
+    return _with_trunk(
+        _token_embed_inverse(config), _hifigan_generator_inverse(config)
+    )
+
+
+def _discrete_duration_inverse(config: Dict[str, Any]):
+    base = _discrete_hifigan_inverse(config)
+
+    def rule(path: str):
+        m = re.match(r"^duration_predictor/conv_(\d+)$", path)
+        if m:
+            return f"duration_predictor.conv.{m.group(1)}.0", "conv1d"
+        m = re.match(r"^duration_predictor/norm_(\d+)$", path)
+        if m:
+            return f"duration_predictor.conv.{m.group(1)}.2", "norm"
+        if path == "duration_predictor/linear":
+            return "duration_predictor.linear", "dense"
+        return base(path)
+
+    return rule
+
+
+def _discrete_f0_inverse(config: Dict[str, Any]):
+    base = _discrete_hifigan_inverse(config)
+
+    def rule(path: str):
+        if path == "f0_embedding":
+            return "f0_embedding", "dense"
+        if path == "weights":
+            return "weights", "param"
+        if path == "trunk/input_conv":
+            # never weight-normed in the reference (hifigan.py:1393-1400)
+            return "input_conv", "conv1d_plain"
+        return base(path)
+
+    return rule
+
+
+def _discrete_style_melgan_inverse(config: Dict[str, Any]):
+    return _with_trunk(
+        _token_embed_inverse(config), _style_melgan_generator_inverse(config)
+    )
+
+
+def _uhifigan_generator_inverse(config: Dict[str, Any]):
+    def rule(path: str):
+        if path == "input_conv":
+            return "input_conv.0", "conv1d"
+        if path == "hidden_conv":
+            return "hidden_conv", "conv1d"
+        if path == "output_conv":
+            return "output_conv.1", "conv1d"
+        m = re.match(r"^downsamples_(\d+)$", path)
+        if m:
+            return f"downsamples.{m.group(1)}.0", "conv1d"
+        m = re.match(r"^upsamples_(\d+)$", path)
+        if m:
+            return f"upsamples.{m.group(1)}.1", "convt1d"
+        m = re.match(
+            r"^(downsamples_mrf|upsamples_mrf)_(\d+)/(convs1|convs2)_(\d+)$",
+            path,
+        )
+        if m:
+            return (
+                f"{m.group(1)}.{m.group(2)}.{m.group(3)}.{m.group(4)}.1",
+                "conv1d",
+            )
+        return None
+
+    return rule
+
+
+def _vqvae_inverse(config: Dict[str, Any]):
+    decoder_conf = config.get("decoder_conf", {}) or {}
+    encoder_conf = config.get("encoder_conf", {}) or {}
+    from parallelwavegan_tpu.utils.torch_import import (
+        _melgan_sequential_map,
+    )
+
+    dec_inv = {
+        ours: (torch_key, kind)
+        for torch_key, (ours, kind) in _melgan_sequential_map(
+            decoder_conf
+        ).items()
+    }
+    # MelGANDiscriminator-tower encoder: layer 0 is Sequential(pad, conv)
+    # -> .1; the downsample and second-to-last convs are Sequential(conv,
+    # act) -> .0; the final output conv is bare
+    n_enc = len(encoder_conf.get("downsample_scales", (4, 4, 4, 4))) + 3
+
+    def rule(path: str):
+        if path == "codebook":
+            return "codebook.embedding", "embedding"
+        if path == "local_embed":
+            return "local_embed", "conv1d"
+        if path == "global_embed":
+            return "global_embed", "embedding"
+        m = re.match(r"^encoder/layer_(\d+)$", path)
+        if m:
+            i = int(m.group(1))
+            suffix = ".1" if i == 0 else ("" if i == n_enc - 1 else ".0")
+            return f"encoder.layers.{i}{suffix}", "conv1d"
+        if path.startswith("decoder/"):
+            sub = dec_inv.get(path[len("decoder/"):])
+            if sub:
+                return f"decoder.{sub[0]}", sub[1]
+        return None
+
+    return rule
+
+
 _INVERSE_RULES = {
     "ParallelWaveGANGenerator": _pwg_generator_inverse,
     "MelGANGenerator": _melgan_generator_inverse,
     "HiFiGANGenerator": _hifigan_generator_inverse,
     "StyleMelGANGenerator": _style_melgan_generator_inverse,
+    "DiscreteSymbolHiFiGANGenerator": _discrete_hifigan_inverse,
+    "DiscreteSymbolDurationGenerator": _discrete_duration_inverse,
+    "DiscreteSymbolF0Generator": _discrete_f0_inverse,
+    "DiscreteSymbolStyleMelGANGenerator": _discrete_style_melgan_inverse,
+    "UHiFiGANGenerator": _uhifigan_generator_inverse,
+    "VQVAE": _vqvae_inverse,
 }
 
 
@@ -150,6 +294,18 @@ def _g_to_torch(kind: str, g: np.ndarray) -> np.ndarray:
 def _leaf_to_torch(kind: str, leaves: Dict[str, np.ndarray],
                    use_weight_norm: bool) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
+    if kind == "embedding":
+        return {"weight": np.asarray(leaves["embedding"])}
+    if kind == "norm":  # dim-selectable LayerNorm: scale -> weight
+        if "scale" in leaves:
+            out["weight"] = np.asarray(leaves["scale"])
+        if "bias" in leaves:
+            out["bias"] = np.asarray(leaves["bias"])
+        return out
+    if kind == "conv1d_plain":  # conv the reference never weight-norms
+        kind, use_weight_norm = "conv1d", False
+    if kind == "dense":  # torch.nn.Linear is never weight-normed here
+        use_weight_norm = False
     perm = _INV_PERMS[kind]
     if "kernel_v" in leaves:
         out["weight_v"] = np.asarray(leaves["kernel_v"]).transpose(perm)
@@ -208,6 +364,17 @@ def export_generator_state_dict(
     flat = _flatten(params)
     state: Dict[str, np.ndarray] = {}
     for path, leaves in sorted(flat.items()):
+        if path == "":
+            # bare top-level parameters (e.g. the F0 layer-sum `weights`)
+            for leaf, tensor in leaves.items():
+                mapped = rule(leaf)
+                if mapped is None or mapped[1] != "param":
+                    raise KeyError(
+                        f"torch-export: no reference location for "
+                        f"top-level param '{leaf}' of {model_name}"
+                    )
+                state[mapped[0]] = np.asarray(tensor, dtype=np.float32)
+            continue
         mapped = rule(path)
         if mapped is None:
             raise KeyError(

@@ -180,3 +180,156 @@ def test_save_reference_checkpoint_loads_in_reference(tmp_path):
     np.testing.assert_allclose(
         np.asarray(y_ours), y_ref, rtol=1e-4, atol=1e-5
     )
+
+
+def test_export_discrete_hifigan_generator():
+    import jax.numpy as jnp
+    import parallel_wavegan.models as ref_models
+
+    gen_params = dict(
+        in_channels=16, channels=32, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), num_embs=10, num_spk_embs=4,
+        spk_emb_dim=16,
+    )
+    ours = get_model_class("DiscreteSymbolHiFiGANGenerator")(**gen_params)
+    variables = ours.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 8, 2), jnp.int32)
+    )
+    state = export_generator_state_dict(
+        variables["params"], "DiscreteSymbolHiFiGANGenerator",
+        {"generator_params": gen_params},
+    )
+    ref = ref_models.DiscreteSymbolHiFiGANGenerator(**gen_params)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    ref.eval()
+    rng = np.random.default_rng(8)
+    c = np.stack(
+        [rng.integers(0, 10, (2, 12)), rng.integers(0, 4, (2, 12))], axis=-1
+    ).astype(np.int64)
+    c[:, :, 1] = c[:, :1, 1]
+    out = ours.apply(variables, jnp.asarray(c))
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(c.transpose(0, 2, 1)))
+    _assert_close(out, ref_out)
+
+
+def test_export_discrete_f0_generator():
+    import jax.numpy as jnp
+    import parallel_wavegan.models as ref_models
+
+    gen_params = dict(
+        in_channels=16, channels=32, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),), num_embs=10, num_spk_embs=0,
+        spk_emb_dim=16, linear_channel=8, use_f0=True, use_weight_sum=True,
+        layer_num=3,
+    )
+    ours = get_model_class("DiscreteSymbolF0Generator")(**gen_params)
+    variables = ours.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 8, 3), jnp.int32), jnp.zeros((1, 8, 1)),
+    )
+    state = export_generator_state_dict(
+        variables["params"], "DiscreteSymbolF0Generator",
+        {"generator_params": gen_params},
+    )
+    ref = ref_models.DiscreteSymbolF0Generator(**gen_params)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}, strict=False
+    )
+    # reference constructs an unused spk_emb even with num_spk_embs=0
+    assert [m for m in missing if not m.startswith("spk_emb")] == []
+    assert not unexpected
+    ref.eval()
+    rng = np.random.default_rng(9)
+    c = rng.integers(0, 10, (2, 12, 3)).astype(np.int64)
+    f0 = rng.standard_normal((2, 12, 1)).astype(np.float32)
+    out = ours.apply(variables, jnp.asarray(c), jnp.asarray(f0))
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(c.transpose(0, 2, 1)),
+            torch.from_numpy(f0.transpose(0, 2, 1)),
+        )
+    _assert_close(out, ref_out)
+
+
+def test_export_uhifigan_generator():
+    import jax.numpy as jnp
+    from parallel_wavegan.models.uhifigan import UHiFiGANGenerator as Ref
+
+    gen_params = dict(
+        in_channels=20, channels=32, downsample_scales=(2, 2),
+        downsample_kernel_sizes=(4, 4), upsample_scales=(2, 2),
+        upsample_kernel_sizes=(4, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+    )
+    ours = get_model_class("UHiFiGANGenerator")(**gen_params)
+    T = 64
+    variables = ours.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, T // 4, 20)), None, jnp.zeros((1, T, 1)),
+    )
+    state = export_generator_state_dict(
+        variables["params"], "UHiFiGANGenerator",
+        {"generator_params": gen_params},
+    )
+    ref = Ref(**{**gen_params,
+                 "downsample_scales": list(gen_params["downsample_scales"]),
+                 "downsample_kernel_sizes": list(
+                     gen_params["downsample_kernel_sizes"]),
+                 "upsample_scales": list(gen_params["upsample_scales"]),
+                 "upsample_kernel_sizes": list(
+                     gen_params["upsample_kernel_sizes"]),
+                 "resblock_dilations": [list(d) for d in
+                                        gen_params["resblock_dilations"]]})
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    ref.eval()
+    rng = np.random.default_rng(10)
+    c = rng.standard_normal((2, T // 4, 20)).astype(np.float32)
+    exc = rng.standard_normal((2, T, 1)).astype(np.float32)
+    out = ours.apply(variables, jnp.asarray(c), None, jnp.asarray(exc), True)
+    with torch.no_grad():
+        ref_out = ref(
+            c=torch.from_numpy(c.transpose(0, 2, 1)),
+            excitation=torch.from_numpy(exc.transpose(0, 2, 1)),
+        )
+    _assert_close(out, ref_out)
+
+
+def test_export_vqvae():
+    import jax.numpy as jnp
+    import parallel_wavegan.models as ref_models
+
+    gen_params = dict(
+        num_embeds=32, embed_dim=16,
+        encoder_conf={"out_channels": 16, "downsample_scales": [4, 4],
+                      "channels": 8, "max_downsample_channels": 32},
+        decoder_conf={"in_channels": 16, "upsample_scales": [4, 4],
+                      "channels": 32, "stacks": 2},
+    )
+    ours = get_model_class("VQVAE")(**gen_params)
+    variables = ours.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 256, 1))
+    )
+    state = export_generator_state_dict(
+        variables["params"], "VQVAE", {"generator_params": gen_params}
+    )
+    ref = ref_models.VQVAE(**gen_params)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in state.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    ref.eval()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 256, 1)).astype(np.float32)
+    y, _, _ = ours.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        y_ref, _, _ = ref(torch.from_numpy(x.transpose(0, 2, 1)))
+    _assert_close(y, y_ref)
