@@ -26,22 +26,38 @@ import jax.numpy as jnp
 from parallelwavegan_tpu.engine.state import GANTrainState
 
 
-def make_generator_forward(config: Dict[str, Any], generator) -> Callable:
-    """Adapter: (variables, batch, rng, deterministic) -> (y_hat, aux)."""
+def make_generator_forward(
+    config: Dict[str, Any], generator, per_device: bool = False
+) -> Callable:
+    """Adapter: (variables, batch, rng, deterministic) -> (y_hat, aux).
+
+    per_device=True means the returned forward runs inside shard_map (one
+    program per device, batch already local) — Pallas kernels are then safe
+    on any device count.
+    """
     gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
     use_noise = gen_type in (
         "ParallelWaveGANGenerator",
     ) or config.get("use_noise_input", False)
 
     # fused Pallas WaveNet stack for the PWG training hot loop (custom VJP;
-    # ops/pallas/wavenet_stack_train.py). Single-device only: pallas_call is
-    # opaque to GSPMD, so sharded-batch (multi-chip) runs keep the XLA path.
+    # ops/pallas/wavenet_stack_train.py). Usable single-device under plain
+    # jit (pallas_call is opaque to GSPMD, so sharded-batch jit runs keep
+    # the XLA path) and on any device count under shard_map (per_device).
+    # fused_wavenet_interpret=True forces the kernel in Pallas interpret
+    # mode — CPU-mesh integration tests of the multi-chip path.
     fused_cfg = config.get("fused_wavenet", "auto")
+    interpret_fused = bool(config.get("fused_wavenet_interpret", False))
     use_fused = (
         gen_type == "ParallelWaveGANGenerator"
         and fused_cfg in (True, "auto", "true")
-        and jax.default_backend() not in ("cpu",)
-        and jax.device_count() == 1
+        and (
+            interpret_fused
+            or (
+                jax.default_backend() not in ("cpu",)
+                and (per_device or jax.device_count() == 1)
+            )
+        )
     )
     if use_fused:
         from parallelwavegan_tpu.ops.pallas.pwg_infer import (
@@ -58,6 +74,7 @@ def make_generator_forward(config: Dict[str, Any], generator) -> Callable:
             y_ = pwg_fused_forward(
                 generator, variables, batch["z"], batch["c"],
                 trainable=True, chunk=fused_chunk,
+                interpret=interpret_fused,
             )
             return y_, {}
 
@@ -134,14 +151,42 @@ def build_steps(
     criterion: Dict[str, Any],
     opt_g,
     opt_d,
+    mesh=None,
 ):
     """Return (train_step_factory, eval_step).
 
     train_step_factory(train_g, use_adv, train_d) -> jitted step
       step(state, batch, rng) -> (new_state, metrics)
     eval_step(state, batch, rng) -> metrics   (includes adv metrics)
+
+    When `mesh` spans >1 device, train steps are built with
+    jax.shard_map over the mesh's leading axis: params replicated, batch
+    sharded on dim 0, explicit pmean of gradients and metrics — the direct
+    analogue of the reference's DDP all-reduce (bin/train.py:1558-1567).
+    This also keeps Pallas kernels usable multi-chip (per-device programs),
+    where GSPMD would exclude them. Per-shard rngs are decorrelated by
+    folding in the axis index, matching DDP's per-process RNG streams.
+    eval_step stays on the plain-jit GSPMD path, which tolerates
+    non-divisible (replicated) eval batches.
     """
-    gen_forward_raw = make_generator_forward(config, generator)
+    axis = None
+    if mesh is not None and mesh.devices.size > 1:
+        bs = config.get("batch_size")
+        if bs is not None and bs % mesh.devices.size != 0:
+            # shard_map needs equal shards; fall back to the GSPMD path
+            # (which replicates indivisible batches) rather than fail
+            import logging
+
+            logging.warning(
+                "batch_size %s not divisible by mesh size %d; using the "
+                "GSPMD train path (Pallas kernels disabled multi-chip)",
+                bs, mesh.devices.size,
+            )
+        else:
+            axis = mesh.axis_names[0]
+    gen_forward_raw = make_generator_forward(
+        config, generator, per_device=axis is not None
+    )
     dis_forward_raw = make_discriminator_forward(config, discriminator)
     out_ch = config.get("generator_params", {}).get("out_channels", 1)
     gen_type = config.get("generator_type", "ParallelWaveGANGenerator")
@@ -172,13 +217,25 @@ def build_steps(
             tree,
         )
 
-    if mixed:
+    def _mixed_gen(raw):
+        if not mixed:
+            return raw
+
         def gen_forward(gvars, batch, rng, deterministic):
-            y_, aux = gen_forward_raw(
-                _half(gvars), _half(batch), rng, deterministic
-            )
+            y_, aux = raw(_half(gvars), _half(batch), rng, deterministic)
             return _full(y_), _full(aux)
 
+        return gen_forward
+
+    gen_forward = _mixed_gen(gen_forward_raw)
+    # eval runs under plain jit (GSPMD), where the per-device Pallas path
+    # is not valid on >1 device — build it a GSPMD-safe forward
+    gen_forward_eval = (
+        gen_forward if axis is None
+        else _mixed_gen(make_generator_forward(config, generator))
+    )
+
+    if mixed:
         def dis_forward(params_d, extra_d, x, rng, train):
             outs, new_extra = dis_forward_raw(
                 _half(params_d), _half(extra_d),
@@ -187,7 +244,6 @@ def build_steps(
             # carried state (spectral-norm power iteration) back to f32
             return _full(outs), _full(new_extra)
     else:
-        gen_forward = gen_forward_raw
         dis_forward = dis_forward_raw
 
     def prepare_batch(batch):
@@ -197,13 +253,14 @@ def build_steps(
             batch["x_vq"] = criterion["pqmf"].analysis(batch["y"])
         return batch
 
-    def gen_losses(params_g, extra_g, params_d, extra_d, batch, rng,
-                   use_adv, deterministic):
+    def make_gen_losses(gen_fwd):
+      def gen_losses(params_g, extra_g, params_d, extra_d, batch, rng,
+                     use_adv, deterministic):
         metrics = {}
         r_gen, r_d1, r_d2 = jax.random.split(rng, 3)
         gvars = {"params": params_g, **extra_g}
         y = batch["y"]  # (B, T, 1)
-        y_, aux = gen_forward(gvars, batch, r_gen, deterministic)
+        y_, aux = gen_fwd(gvars, batch, r_gen, deterministic)
         gen_loss = 0.0
 
         if is_vq:
@@ -265,6 +322,13 @@ def build_steps(
         metrics["generator_loss"] = gen_loss
         return gen_loss, (metrics, y_)
 
+      return gen_losses
+
+    gen_losses = make_gen_losses(gen_forward)
+    gen_losses_eval = (
+        gen_losses if axis is None else make_gen_losses(gen_forward_eval)
+    )
+
     def dis_losses(params_d, extra_d, y, y_hat, rng, train):
         r1, r2 = jax.random.split(rng)
         p, extra1 = dis_forward(params_d, extra_d, y, r1, train)
@@ -287,6 +351,10 @@ def build_steps(
         def step(state: GANTrainState, batch, rng) -> Tuple[GANTrainState, Dict]:
             batch = prepare_batch(batch)
             rng = jax.random.fold_in(rng, state.steps)
+            if axis is not None:
+                # decorrelate per-shard noise/dropout/window streams
+                # (DDP analogue: each process has its own RNG)
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             r_g, r_dg, r_d = jax.random.split(rng, 3)
             metrics: Dict[str, jnp.ndarray] = {}
             params_g, opt_g_state = state.params_g, state.opt_g
@@ -300,6 +368,8 @@ def build_steps(
                     state.extra_d, batch, r_g, use_adv, False,
                 )
                 metrics.update(m)
+                if axis is not None:
+                    grads = jax.lax.pmean(grads, axis)
                 updates, opt_g_state = opt_g.update(
                     grads, state.opt_g, state.params_g
                 )
@@ -325,6 +395,8 @@ def build_steps(
                     jax.lax.stop_gradient(y_hat_d), r_d, True,
                 )
                 metrics.update(m)
+                if axis is not None:
+                    grads_d = jax.lax.pmean(grads_d, axis)
                 updates_d, opt_d_state = opt_d.update(
                     grads_d, state.opt_d, state.params_d
                 )
@@ -340,15 +412,28 @@ def build_steps(
                 extra_d=extra_d,
                 opt_d=opt_d_state,
             )
+            if axis is not None:
+                metrics = jax.lax.pmean(metrics, axis)
             return new_state, metrics
 
-        return jax.jit(step, donate_argnums=(0,))
+        if axis is None:
+            return jax.jit(step, donate_argnums=(0,))
+        from jax.sharding import PartitionSpec as P
+
+        smapped = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(smapped, donate_argnums=(0,))
 
     def eval_step(state: GANTrainState, batch, rng, use_adv: bool = True):
         batch = prepare_batch(batch)
         rng = jax.random.fold_in(rng, state.steps)
         r_g, r_d = jax.random.split(rng)
-        _, (metrics, y_hat) = gen_losses(
+        _, (metrics, y_hat) = gen_losses_eval(
             state.params_g, state.extra_g, state.params_d, state.extra_d,
             batch, r_g, use_adv, True,
         )

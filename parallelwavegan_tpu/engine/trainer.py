@@ -49,7 +49,7 @@ class Trainer:
         self.criterion = build_criterion(config)
         self.train_step_factory, self.eval_step = build_steps(
             config, self.generator, self.discriminator, self.criterion,
-            opt_g, opt_d,
+            opt_g, opt_d, mesh=self.mesh,
         )
         self.state = replicate(self.mesh, state)
         self.gen_forward = jax.jit(
@@ -91,8 +91,12 @@ class Trainer:
         batch = shard_batch(self.mesh, batch)
         self._maybe_profile()
         self.state, metrics = step_fn(self.state, batch, self.rng)
+        # accumulate on device: float(v) here would force a device->host
+        # readback every step (~30 ms through the tunneled TPU) and stall
+        # the async dispatch pipeline; values are read back only at
+        # log_interval_steps in _check_log_interval
         for k, v in metrics.items():
-            self.total_train_loss[f"train/{k}"] += float(v)
+            self.total_train_loss[f"train/{k}"] += v
         self.steps += 1
         self._check_log_interval()
         self._check_eval_interval()
@@ -175,7 +179,9 @@ class Trainer:
         interval = self.config.get("log_interval_steps", 100)
         if self.steps % interval == 0 and self.total_train_loss:
             for key in sorted(self.total_train_loss):
-                self.total_train_loss[key] /= interval
+                self.total_train_loss[key] = (
+                    float(self.total_train_loss[key]) / interval
+                )
                 logging.info(
                     f"(Steps: {self.steps}) {key} = "
                     f"{self.total_train_loss[key]:.4f}."
@@ -217,9 +223,9 @@ class Trainer:
             sharded = shard_batch(self.mesh, batch)
             metrics = self.eval_step(self.state, sharded, self.rng, use_adv)
             for k, v in metrics.items():
-                totals[f"eval/{k}"] += float(v)
+                totals[f"eval/{k}"] += v  # device-side; read back below
         for k in totals:
-            totals[k] /= max(n_batches, 1)
+            totals[k] = float(totals[k]) / max(n_batches, 1)
             logging.info(f"(Steps: {self.steps}) {k} = {totals[k]:.4f}.")
         if self.writer:
             for k, v in totals.items():

@@ -151,3 +151,95 @@ def test_fused_path_rejects_unsupported_configs():
     assert not supports_fused_inference(g)
     g = ParallelWaveGANGenerator(use_causal_conv=True)
     assert not supports_fused_inference(g)
+
+
+def test_fused_kernel_under_shard_map_mesh():
+    """The fused WaveNet kernel must run inside the shard_map multi-chip
+    train path (per-device programs; GSPMD would exclude pallas_call) and
+    match the XLA forward's losses on the same sharded step."""
+    import parallelwavegan_tpu.ops.pallas.pwg_infer as pwg_infer
+    from parallelwavegan_tpu.engine.build import (
+        example_batch,
+        init_train_state,
+    )
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+    from parallelwavegan_tpu.engine.step import build_steps
+    from parallelwavegan_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    config = {
+        "sampling_rate": 16000,
+        "hop_size": 16,
+        "num_mels": 10,
+        "batch_max_steps": 256,
+        "batch_size": 8,
+        "lambda_adv": 1.0,
+        "generator_type": "ParallelWaveGANGenerator",
+        "generator_params": {
+            "layers": 4, "stacks": 2, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 10,
+            "aux_context_window": 1,
+            "upsample_params": {"upsample_scales": [4, 4]},
+        },
+        "discriminator_type": "ParallelWaveGANDiscriminator",
+        "discriminator_params": {"layers": 3, "conv_channels": 8},
+        "stft_loss_params": {
+            "fft_sizes": [64], "hop_sizes": [16], "win_lengths": [48],
+        },
+        "generator_optimizer_params": {"lr": 1e-4},
+        "discriminator_optimizer_params": {"lr": 1e-4},
+        "generator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "discriminator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "generator_grad_norm": 10,
+        "discriminator_grad_norm": 1,
+    }
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces the 8-device CPU mesh
+
+    rng = jax.random.key(0)
+    state, g, d, og, od = init_train_state(config, rng)
+    # the jitted steps donate their state argument; replicate from a host
+    # snapshot so each step gets an independent copy
+    state = jax.device_get(state)
+    criterion = build_criterion(config)
+    batch = example_batch(config, batch_size=8)
+
+    calls = []
+    orig = pwg_infer.pwg_fused_forward
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    pwg_infer.pwg_fused_forward = spy
+    try:
+        factory, _ = build_steps(
+            {**config, "fused_wavenet": True,
+             "fused_wavenet_interpret": True},
+            g, d, criterion, og, od, mesh=mesh,
+        )
+        step = factory(True, True, True)
+        _, metrics = step(
+            replicate(mesh, state), shard_batch(mesh, batch), rng
+        )
+    finally:
+        pwg_infer.pwg_fused_forward = orig
+    assert calls, "fused Pallas path was not taken under shard_map"
+
+    factory2, _ = build_steps(
+        {**config, "fused_wavenet": False}, g, d, criterion, og, od,
+        mesh=mesh,
+    )
+    step2 = factory2(True, True, True)
+    _, metrics2 = step2(
+        replicate(mesh, state), shard_batch(mesh, batch), rng
+    )
+    assert set(metrics) == set(metrics2)
+    for k in metrics:
+        np.testing.assert_allclose(
+            np.asarray(metrics[k]), np.asarray(metrics2[k]),
+            rtol=1e-4, atol=1e-4, err_msg=k,
+        )
