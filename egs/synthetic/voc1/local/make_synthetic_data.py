@@ -26,6 +26,7 @@ def main():
     for split, idxs in splits.items():
         outdir = os.path.join(args.outdir, split)
         os.makedirs(outdir, exist_ok=True)
+        scp = []
         for i in idxs:
             dur = 1.0 + 0.25 * (i % 3)
             t = np.arange(int(sr * dur))
@@ -34,10 +35,11 @@ def main():
             wave += 0.1 * np.sin(2 * np.pi * 2 * f * t / sr)
             wave *= 0.5 * (1 - np.cos(2 * np.pi * t / len(t)))  # envelope
             wave += 0.01 * rng.standard_normal(len(t))
-            write_wav(
-                os.path.join(outdir, f"{split}_utt{i}.wav"),
-                wave.astype(np.float32), sr,
-            )
+            path = os.path.join(outdir, f"{split}_utt{i}.wav")
+            write_wav(path, wave.astype(np.float32), sr)
+            scp.append(f"{split}_utt{i} {os.path.abspath(path)}")
+        with open(os.path.join(outdir, "wav.scp"), "w") as fh:
+            fh.write("\n".join(scp) + "\n")
     print(f"Generated corpus under {args.outdir}")
 
 

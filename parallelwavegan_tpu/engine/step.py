@@ -48,16 +48,15 @@ def make_generator_forward(
     # mode — CPU-mesh integration tests of the multi-chip path.
     fused_cfg = config.get("fused_wavenet", "auto")
     interpret_fused = bool(config.get("fused_wavenet_interpret", False))
+    # interpret_fused only relaxes the backend check (CPU can run the kernel
+    # in interpret mode); the per-device/device-count guard still applies —
+    # pallas_call is opaque to GSPMD, so under plain jit on >1 device the
+    # fused path would silently compute on unsharded views.
     use_fused = (
         gen_type == "ParallelWaveGANGenerator"
         and fused_cfg in (True, "auto", "true")
-        and (
-            interpret_fused
-            or (
-                jax.default_backend() not in ("cpu",)
-                and (per_device or jax.device_count() == 1)
-            )
-        )
+        and (interpret_fused or jax.default_backend() not in ("cpu",))
+        and (per_device or jax.device_count() == 1)
     )
     if use_fused:
         from parallelwavegan_tpu.ops.pallas.pwg_infer import (
@@ -172,9 +171,9 @@ def build_steps(
     axis = None
     if mesh is not None and mesh.devices.size > 1:
         bs = config.get("batch_size")
-        if bs is not None and bs % mesh.devices.size != 0:
-            # shard_map needs equal shards; fall back to the GSPMD path
-            # (which replicates indivisible batches) rather than fail
+        # shard_map needs equal shards and a known global batch: an absent
+        # batch_size is treated as non-divisible rather than assumed OK.
+        if bs is None or bs % mesh.devices.size != 0:
             import logging
 
             logging.warning(
@@ -420,6 +419,15 @@ def build_steps(
             return jax.jit(step, donate_argnums=(0,))
         from jax.sharding import PartitionSpec as P
 
+        # INVARIANT (check_vma=False + out_specs=P() assert replication):
+        # every component of new_state must be data-independent given the
+        # pmean'd grads — params/opt states update from all-reduced grads,
+        # and the only mutable collection threaded through (extra_d's
+        # spectral-norm power-iteration u) depends solely on params, never
+        # on the local batch or per-shard rng. Any future mutable
+        # collection that is batch- or rng-dependent (e.g. batch stats)
+        # must itself be pmean'd before being stored, or it will silently
+        # diverge per shard.
         smapped = jax.shard_map(
             step,
             mesh=mesh,

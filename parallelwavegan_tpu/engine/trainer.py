@@ -97,6 +97,7 @@ class Trainer:
         # log_interval_steps in _check_log_interval
         for k, v in metrics.items():
             self.total_train_loss[f"train/{k}"] += v
+        self._accum_steps = getattr(self, "_accum_steps", 0) + 1
         self.steps += 1
         self._check_log_interval()
         self._check_eval_interval()
@@ -178,9 +179,13 @@ class Trainer:
     def _check_log_interval(self):
         interval = self.config.get("log_interval_steps", 100)
         if self.steps % interval == 0 and self.total_train_loss:
+            # divide by the number of steps that actually contributed —
+            # after warm-up ends or a resume lands mid-interval, fewer than
+            # `interval` steps may have accumulated
+            n_accum = max(getattr(self, "_accum_steps", interval), 1)
             for key in sorted(self.total_train_loss):
                 self.total_train_loss[key] = (
-                    float(self.total_train_loss[key]) / interval
+                    float(self.total_train_loss[key]) / n_accum
                 )
                 logging.info(
                     f"(Steps: {self.steps}) {key} = "
@@ -191,12 +196,13 @@ class Trainer:
                     self.writer.add_scalar(k, v, self.steps)
                 self.writer.add_scalar(
                     "train/steps_per_sec",
-                    interval / max(time.time() - getattr(self, "_log_tic",
-                                                         self.tic), 1e-6),
+                    n_accum / max(time.time() - getattr(self, "_log_tic",
+                                                        self.tic), 1e-6),
                     self.steps,
                 )
             self._log_tic = time.time()
             self.total_train_loss = defaultdict(float)
+            self._accum_steps = 0
 
     def _check_save_interval(self):
         interval = self.config.get("save_interval_steps", 10000)

@@ -141,7 +141,18 @@ class StyleMelGANDiscriminator(nn.Module):
     use_weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True) -> List[List[jnp.ndarray]]:
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        window_starts: Optional[Sequence[int]] = None,
+    ) -> List[List[jnp.ndarray]]:
+        """x (B, T, 1) -> list of repeats * len(window_sizes) fmap lists.
+
+        window_starts: optional flat list of repeats*len(window_sizes) fixed
+        window start indices (testing/debug override of the "window" RNG
+        stream; reference draws from global np RNG at style_melgan.py:330).
+        """
         assert len(self.window_sizes) == len(self.pqmf_params)
         sizes = [ws // p[0] for ws, p in zip(self.window_sizes, self.pqmf_params)]
         assert all(s == sizes[0] for s in sizes)
@@ -171,13 +182,16 @@ class StyleMelGANDiscriminator(nn.Module):
             for idx, pq in enumerate(self.pqmf_params)
         ]
         outs = []
-        for _ in range(self.repeats):
+        for r in range(self.repeats):
             for idx, (ws, pq) in enumerate(
                 zip(self.window_sizes, self.pqmf_params)
             ):
-                start = jax.random.randint(
-                    self.make_rng("window"), (), 0, x.shape[1] - ws
-                )
+                if window_starts is not None:
+                    start = window_starts[r * len(self.window_sizes) + idx]
+                else:
+                    start = jax.random.randint(
+                        self.make_rng("window"), (), 0, x.shape[1] - ws
+                    )
                 x_ = jax.lax.dynamic_slice_in_dim(x, start, ws, axis=1)
                 subbands = pq[0]
                 if subbands > 1:

@@ -144,12 +144,12 @@ def test_hifigan_period_discriminator_parity():
             np.asarray(f).transpose(0, 3, 1, 2), f_ref.numpy(),
             rtol=1e-4, atol=1e-5,
         )
-    # final: both flattened; ours is (T', P, C)-major, torch (C, T', P)-major
+    # final: both flattened from a single output channel -- ours (B, T', P, 1)
+    # and torch (B, 1, T', P) flatten to the identical element order, so
+    # compare values directly (no permutation-insensitive sort).
     f = np.asarray(outs[-1])
     fr = outs_ref[-1].numpy()
-    np.testing.assert_allclose(
-        np.sort(f, axis=-1), np.sort(fr, axis=-1), rtol=1e-4, atol=1e-5
-    )
+    np.testing.assert_allclose(f, fr, rtol=1e-4, atol=1e-5)
 
 
 def test_hifigan_msd_official_norm_parity():
@@ -201,9 +201,12 @@ def test_style_melgan_generator_parity():
     np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
 
 
-def test_style_melgan_discriminator_structure():
-    """Random windows differ (RNG backends), so compare structure + that
-    each discriminator output matches when fed the same fixed window."""
+def test_style_melgan_discriminator_parity(monkeypatch):
+    """Value parity with pinned window starts: the reference draws starts
+    from global np RNG (style_melgan.py:330), so pin np.random.randint to a
+    deterministic per-call sequence and pass the identical starts to ours via
+    the window_starts override.  This exercises the window slicing + PQMF
+    analysis + per-window MelGAN discriminators end to end at value level."""
     config = dict(
         window_sizes=[256, 512, 1024, 2048],
         discriminator_params={"channels": 8, "downsample_scales": [4, 1],
@@ -211,12 +214,20 @@ def test_style_melgan_discriminator_structure():
     )
     ref, ours, variables = _build_pair("StyleMelGANDiscriminator", config)
     x = np.random.default_rng(9).standard_normal((2, 1, 4096)).astype(np.float32)
+    # 2 repeats x 4 windows; vary starts so an off-by-one in slicing shows up
+    starts = [0, 33, 128, 1024, 17, 100, 512, 2048]
+    it = iter(starts)
+    monkeypatch.setattr(np.random, "randint", lambda *a, **k: next(it))
     with torch.no_grad():
         outs_ref = ref(torch.from_numpy(x))
     outs = ours.apply(
         variables, jnp.asarray(x.transpose(0, 2, 1)),
-        rngs={"window": jax.random.key(0)},
+        window_starts=starts,
     )
     assert len(outs) == len(outs_ref) == 2 * len(config["window_sizes"])
     for fl, fl_ref in zip(outs, outs_ref):
         assert len(fl) == len(fl_ref)
+        for f, f_ref in zip(fl, fl_ref):
+            np.testing.assert_allclose(
+                _bct(f), f_ref.numpy(), rtol=1e-4, atol=1e-4
+            )
