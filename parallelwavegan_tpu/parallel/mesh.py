@@ -63,35 +63,66 @@ _warned_indivisible = False
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
     """Put a host batch onto the mesh, sharded along axis 0.
 
+    Single-process: device_put with a sharded NamedSharding. Multi-process
+    (jax.process_count() > 1): each process holds only its LOCAL shard of
+    the global batch (bin/train.py builds per-process loaders with
+    batch_size // process_count), so the global array is assembled with
+    jax.make_array_from_process_local_data — device_put of host-local data
+    onto a global mesh would be wrong (DDP analogue: DistributedSampler
+    shards, reference bin/train.py:1389-1405).
+
     Falls back to replication (with a one-time warning) when the batch size
     is not divisible by the mesh size — data parallelism then degrades to
     redundant compute but stays correct.
     """
     n = mesh.devices.size
+    multiproc = jax.process_count() > 1
+    # per-process leading-dim divisibility requirement under multi-process:
+    # local shard splits over the mesh's local devices
+    local_n = (
+        n // jax.process_count() if multiproc and n % jax.process_count() == 0
+        else n
+    )
 
     def put(x):
         global _warned_indivisible
-        if np.shape(x) and np.shape(x)[0] % n == 0:
+        if np.shape(x) and np.shape(x)[0] % local_n == 0:
             spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
         else:
             if not _warned_indivisible:
                 logging.warning(
                     "batch dim %s not divisible by mesh size %d; replicating",
-                    np.shape(x), n,
+                    np.shape(x), local_n,
                 )
                 _warned_indivisible = True
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: every process supplies the same full array (state is
+    derived from the same seed / checkpoint on all hosts), assembled into a
+    fully-replicated global array.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree
-    )
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def batch_spec(mesh: Mesh, axis_name: str = "data"):

@@ -35,7 +35,9 @@ def test_mcd_robust_to_time_offset():
     sr = 16000
     a = _tone(220, sr, dur=0.6, noise=0.01)
     shifted = np.concatenate([np.zeros(400, np.float32), a])
-    assert mel_cepstral_distortion(a, shifted, sr) < 2.0  # DTW absorbs shift
+    # DTW absorbs the shift; the residual is boundary frames (c0 included
+    # per the reference's MCD definition, so partial-frame gain counts)
+    assert mel_cepstral_distortion(a, shifted, sr) < 3.0
 
 
 def test_dtw_identity():
@@ -92,3 +94,115 @@ def test_mcep_shape():
     mc = mcep(_tone(220, sr, dur=0.2), sr)
     assert mc.shape[1] == 35  # dim 34 + c0
     assert np.isfinite(mc).all()
+
+
+# ---------------------------------------------------------------------------
+# SPTK-exactness of mcep: the implementation minimizes the SPTK criterion
+# (gamma=0 mel-generalized cepstrum); these tests pin that down analytically.
+# ---------------------------------------------------------------------------
+
+def _random_periodogram(F=3, n_fft=512, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((F, n_fft)) * 1000.0  # int16-ish scale
+    return np.abs(np.fft.rfft(x * np.hamming(n_fft), axis=-1)) ** 2 + 1e-6
+
+
+def test_mcep_alpha0_full_order_equals_cepstrum():
+    """alpha=0, order=n_fft/2: the model can represent log P exactly, so the
+    minimizer IS the real cepstrum of log P (E=0) — a closed-form oracle."""
+    from parallelwavegan_tpu.ops.eval_metrics import mcep_from_periodogram
+
+    n_fft = 64
+    P = _random_periodogram(2, n_fft, seed=1)
+    M = n_fft // 2
+    mc = mcep_from_periodogram(P, M, 0.0, n_fft, max_iter=200)
+    logP_full = np.log(
+        np.concatenate([P, P[:, -2:0:-1]], axis=-1)
+    )
+    # real cepstrum = inverse DFT of the (symmetric) log spectrum
+    c = np.fft.ifft(logP_full, axis=-1).real[:, : M + 1]
+    expected = c.copy()
+    expected[:, 0] /= 2.0  # model has 2*sum mc_m cos; cepstrum c0 counted once
+    expected[:, M] /= 2.0  # nyquist term likewise
+    np.testing.assert_allclose(mc, expected, rtol=1e-6, atol=1e-8)
+
+
+def test_mcep_recovers_planted_coefficients():
+    """If P = |H|^2 for an order<=M warped model, E=0 is attainable and the
+    unique minimizer is the planted coefficient vector — validates warping
+    + optimizer end to end at alpha=0.45."""
+    from parallelwavegan_tpu.ops.eval_metrics import (
+        mcep_from_periodogram,
+        warped_phase,
+    )
+
+    n_fft, M, alpha = 512, 24, 0.45
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((2, M + 1)) * (0.7 ** np.arange(M + 1))
+    v[:, 0] += 5.0
+    K = n_fft // 2 + 1
+    beta = warped_phase(np.arange(K) * (np.pi / (K - 1)), alpha)
+    A = np.cos(np.outer(beta, np.arange(M + 1)))
+    P = np.exp(2.0 * (v @ A.T))
+    mc = mcep_from_periodogram(P, M, alpha, n_fft, max_iter=200)
+    np.testing.assert_allclose(mc, v, rtol=1e-7, atol=1e-9)
+
+
+def test_mcep_stationarity_of_sptk_criterion():
+    """Gradient of the SPTK objective vanishes at the returned solution
+    (speech-like random frames, the production fs=22050 params)."""
+    from parallelwavegan_tpu.ops.eval_metrics import (
+        mcep_from_periodogram,
+        warped_phase,
+    )
+
+    n_fft, M, alpha = 512, 34, 0.45
+    P = _random_periodogram(3, n_fft, seed=3)
+    mc = mcep_from_periodogram(P, M, alpha, n_fft)
+    K = n_fft // 2 + 1
+    beta = warped_phase(np.arange(K) * (np.pi / (K - 1)), alpha)
+    A = np.cos(np.outer(beta, np.arange(M + 1)))
+    w = np.full(K, 2.0 / n_fft)
+    w[0] = w[-1] = 1.0 / n_fft
+    D = np.exp(np.log(P) - 2.0 * (mc @ A.T))
+    grad = 2.0 * ((1.0 - D) * w) @ A
+    assert np.abs(grad).max() < 1e-8, np.abs(grad).max()
+
+
+def test_mcep_gain_shift_invariance():
+    """Scaling audio by s only shifts mc[0] by log(s): higher coefficients
+    (the MCD-relevant shape) are amplitude-invariant."""
+    sr = 22050
+    a = _tone(220, sr, dur=0.2, noise=0.01)
+    m1 = mcep(a, sr)
+    m2 = mcep(0.25 * a, sr)
+    # residual difference is int16 quantization + the eps periodogram floor
+    np.testing.assert_allclose(m1[:, 1:], m2[:, 1:], atol=5e-3)
+    np.testing.assert_allclose(
+        m1[:, 0] - m2[:, 0], np.log(4.0), atol=1e-3
+    )
+
+
+def test_fastdtw_matches_exact_dtw_on_easy_sequences():
+    """For sequences with an unambiguous alignment, fastdtw (radius 1) finds
+    the exact DTW path; in general its cost upper-bounds the exact one."""
+    from parallelwavegan_tpu.ops.eval_metrics import fastdtw_path
+
+    rng = np.random.default_rng(4)
+    x = np.cumsum(rng.standard_normal((40, 3)), axis=0)
+    px, py = fastdtw_path(x, x)
+    np.testing.assert_array_equal(px, py)
+
+    y = np.concatenate([x[:1]] * 3 + [x], axis=0)  # time-warped copy
+    px, py = fastdtw_path(x, y)
+    # a valid monotonic path covering both sequences end to end
+    assert px[0] == 0 and py[0] == 0
+    assert px[-1] == len(x) - 1 and py[-1] == len(y) - 1
+    assert (np.diff(px) >= 0).all() and (np.diff(py) >= 0).all()
+    cost_fast = np.sum(
+        np.sqrt(((x[px] - y[py]) ** 2).sum(-1))
+    )
+    ex, ey = dtw_path(x, y)
+    cost_exact = np.sum(np.sqrt(((x[ex] - y[ey]) ** 2).sum(-1)))
+    assert cost_fast >= cost_exact - 1e-9
+    assert cost_fast < 1e-9  # warped copy aligns perfectly
