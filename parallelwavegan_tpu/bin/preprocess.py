@@ -19,7 +19,7 @@ import yaml
 from tqdm import tqdm
 
 from parallelwavegan_tpu.datasets import AudioDataset, AudioSCPDataset
-from parallelwavegan_tpu.ops.audio import resample, trim_silence, yin_f0
+from parallelwavegan_tpu.ops.audio import log_f0, resample, trim_silence
 from parallelwavegan_tpu.utils.io import load_config, read_wav, write_hdf5
 
 
@@ -163,12 +163,14 @@ def main():
 
         f0 = None
         if args.use_f0 or config.get("use_f0", False):
-            f0 = yin_f0(
+            # reference contract (bin/preprocess.py:421-430): LOG-domain f0
+            # (0 = unvoiced) from torchyin with pitch_min derived from
+            # win_length and pitch_max 10000, edge-padded to the mel length
+            f0 = log_f0(
                 np.pad(audio, (0, hop_size * 2)), fs, hop_size,
-                pitch_min=config.get("pitch_min", 40),
-                pitch_max=config.get("pitch_max", 500),
+                frame_length=config.get("win_length") or None,
             )[: len(mel)]
-            f0 = np.pad(f0, (0, len(mel) - len(f0)))
+            f0 = np.pad(f0, (0, len(mel) - len(f0)), mode="edge")
 
         local = None
         if args.extract_f0:
@@ -196,12 +198,25 @@ def main():
             # preprocess is a host-side tool: keep the excitation math on
             # CPU so parallel feature-extraction jobs never queue on (or
             # pay per-shape compiles for) the accelerator
+            # reference-exact extension (bin/preprocess.py:431-440): the
+            # LOG-domain f0 contour is TILED hop_size times (repeat on the
+            # middle axis of (1,1,N) then flatten), not per-frame repeated,
+            # and fed to SineGen as-is — a quirk of the singing-voice fork,
+            # reproduced verbatim so excitation dumps interoperate (see
+            # docs/PARITY.md)
+            extended = np.reshape(
+                np.tile(f0[None, :], (hop_size, 1)), (1, -1, 1)
+            )
             with jax.default_device(jax.devices("cpu")[0]):
                 sines, _, _ = sine_excitation(
                     jax.random.key(hash(utt_id) % (2**31)),
-                    np.repeat(f0, hop_size)[None, :, None], fs,
+                    extended, fs,
                 )
                 excitation = np.asarray(sines)[0, :, 0]
+            # reference dump shape: (#frames, hop_size)
+            excitation = excitation[: len(mel) * hop_size].reshape(
+                -1, hop_size
+            )
 
         audio = audio * config.get("global_gain_scale", 1.0)
         if np.abs(audio).max() >= 1.0:

@@ -115,10 +115,17 @@ class Collater:
             ).astype(np.float32)
             out["f0"] = f.reshape(f.shape[0], f.shape[1], 1)
         if self.use_f0_and_excitation:
-            # excitation is audio-rate: crop with the waveform window
-            es = [b[3] for b in batch]
+            # reference contract (bin/train.py:766-775): excitation dumps
+            # are (#frames, hop_size) and are cropped with the FRAME window
+            # incl. the aux context (c_starts:c_ends), then flattened —
+            # with aux_context_window=0 this equals the waveform window.
+            # 1-D audio-rate dumps (our pre-r2 format) are reshaped first.
+            es = [
+                e.reshape(-1, self.hop_size) if e.ndim == 1 else e
+                for e in (b[3] for b in batch)
+            ]
             e = np.stack(
-                [e[s:ee] for e, s, ee in zip(es, x_starts, x_ends)]
+                [e[s:ee] for e, s, ee in zip(es, c_starts, c_ends)]
             ).astype(np.float32)
             out["excitation"] = e.reshape(e.shape[0], -1, 1)
         return out

@@ -63,12 +63,21 @@ def yin_f0(
     pitch_max: float = 500.0,
     frame_length: Optional[int] = None,
     threshold: float = 0.1,
+    parabolic: bool = True,
 ) -> np.ndarray:
     """YIN pitch per frame (de Cheveigné & Kawahara 2002); 0 = unvoiced.
 
     Equivalent role to the reference's torchyin path
     (bin/preprocess.py:92-131): cumulative-mean-normalized difference
-    function, absolute threshold, parabolic interpolation.
+    function, absolute threshold, then descent to the local minimum.
+    parabolic=True additionally refines the period estimate by parabolic
+    interpolation (YIN step 5; sub-sample accuracy). parabolic=False keeps
+    the torchyin-style integer period, whose quantization error is
+    ~f0^2/sampling_rate (torchyin returns sr / integer_tau; the real
+    package is not installable offline, so the discretization is matched
+    by construction and validated against analytic tones in
+    tests/test_eval_metrics.py rather than golden vectors — see
+    docs/PARITY.md).
     """
     if frame_length is None:
         frame_length = int(2 * sampling_rate / pitch_min)
@@ -107,6 +116,9 @@ def yin_f0(
         while tau + 1 <= tau_max and cmndf[tau + 1] < cmndf[tau]:
             tau += 1
         # parabolic interpolation around tau
+        if not parabolic:
+            f0[i] = sampling_rate / float(tau)
+            continue
         if 1 <= tau < tau_max:
             a, b, c = cmndf[tau - 1], cmndf[tau], cmndf[tau + 1]
             denom = a - 2 * b + c
@@ -116,6 +128,33 @@ def yin_f0(
             tau_f = float(tau)
         f0[i] = sampling_rate / tau_f
     return f0
+
+
+def log_f0(
+    audio: np.ndarray,
+    sampling_rate: int,
+    hop_size: int = 256,
+    frame_length: Optional[int] = None,
+    pitch_min: float = 40.0,
+    pitch_max: float = 10000.0,
+) -> np.ndarray:
+    """Log-domain YIN f0 with the reference's torchyin dump contract
+    (bin/preprocess.py:92-131): unvoiced frames are 0, voiced frames carry
+    log(f0); when `frame_length` is given, pitch_min = sr/(frame_length/2)
+    (the reference passes win_length); pitch_max defaults to 10000 Hz.
+    Integer-period YIN (no parabolic refinement), matching torchyin's
+    discretization."""
+    if frame_length is not None:
+        pitch_min = sampling_rate / (frame_length / 2)
+    f0 = yin_f0(
+        audio, sampling_rate, hop_size,
+        pitch_min=pitch_min, pitch_max=pitch_max,
+        frame_length=frame_length, parabolic=False,
+    )
+    out = f0.astype(np.float32)
+    nz = out != 0
+    out[nz] = np.log(out[nz])
+    return out
 
 
 def interpolate_continuous_f0(f0: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -65,6 +65,67 @@ def test_yin_silence_is_unvoiced():
     assert (f0 == 0).mean() > 0.8
 
 
+def test_log_f0_reference_contract():
+    """log_f0 matches the reference torchyin dump contract
+    (/root/reference/parallel_wavegan/bin/preprocess.py:92-131): voiced
+    frames carry log(f0) with integer-period quantization (f0 = sr/tau, so
+    |df| <= f0^2/sr, i.e. |dlog f0| <= f0/sr), unvoiced frames are 0, and
+    frame_length drives pitch_min = sr/(frame_length/2)."""
+    from parallelwavegan_tpu.ops.audio import log_f0
+
+    sr = 16000
+    freq = 220.0
+    lf = log_f0(_tone(freq, sr, dur=0.4, noise=0.002), sr, hop_size=160,
+                frame_length=1024)
+    voiced = lf[lf != 0]
+    assert len(voiced) > 0
+    # quantized grid: every voiced value must be log(sr / integer)
+    taus = sr / np.exp(voiced)
+    np.testing.assert_allclose(taus, np.round(taus), atol=1e-3)
+    assert abs(np.median(voiced) - np.log(freq)) < 2 * freq / sr + 1e-2
+    # noise -> unvoiced zeros (constant/DC input is degenerate for YIN --
+    # every lag matches -- so aperiodicity is tested with noise)
+    lf = log_f0(
+        1e-4 * np.random.default_rng(0).standard_normal(sr // 2)
+        .astype(np.float32),
+        sr, hop_size=160, frame_length=1024,
+    )
+    assert (lf == 0).mean() > 0.8
+
+
+def test_yin_harmonic_rich_tracks_fundamental():
+    """A sawtooth-like harmonic stack must resolve to the fundamental, not
+    a harmonic (the classic YIN failure mode its CMND threshold guards)."""
+    sr = 16000
+    f = 165.0
+    t = np.arange(int(sr * 0.4)) / sr
+    x = sum(
+        (0.6 / h) * np.sin(2 * np.pi * f * h * t) for h in range(1, 6)
+    ).astype(np.float32)
+    f0 = yin_f0(x, sr, hop_size=160, pitch_min=60, pitch_max=500)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0
+    assert abs(np.median(voiced) - f) / f < 0.03
+
+
+def test_yin_tracks_vibrato():
+    """Slow 5 Hz vibrato (+-3%) is tracked frame-wise within 5%."""
+    sr = 16000
+    t = np.arange(int(sr * 0.6)) / sr
+    inst = 200.0 * (1.0 + 0.03 * np.sin(2 * np.pi * 5.0 * t))
+    phase = 2 * np.pi * np.cumsum(inst) / sr
+    x = np.sin(phase).astype(np.float32)
+    hop, fl = 160, 800
+    f0 = yin_f0(x, sr, hop_size=hop, pitch_min=60, pitch_max=500,
+                frame_length=fl)
+    centers = (np.arange(len(f0)) * hop + fl // 2).clip(0, len(t) - 1)
+    ref = inst[centers]
+    voiced = f0 > 0
+    assert voiced.mean() > 0.8
+    rel = np.abs(f0[voiced] - ref[voiced]) / ref[voiced]
+    assert np.percentile(rel, 90) < 0.05, np.percentile(rel, 90)
+
+
 def test_log_f0_rmse_and_semitone():
     sr = 16000
     a = _tone(220, sr, noise=0.005)

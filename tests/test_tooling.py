@@ -107,6 +107,53 @@ def test_launcher_spawns_processes(tmp_path):
     assert "RANK 1 WORLD 2" in result.stdout
 
 
+def test_multiprocess_training_matches_single_process(tmp_path):
+    """Two OS processes (4 virtual CPU devices each) joined via
+    jax.distributed through the launcher must produce the same losses and
+    parameters as the single-process 8-device run — the executable analogue
+    of the reference's DDP all-reduce equivalence (bin/train.py:1078-1082,
+    1558-1567)."""
+    import json
+    import socket
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        import mp_train_worker
+    finally:
+        sys.path.pop(0)
+
+    # single-process 8-device baseline (pytest process already has the
+    # 8-device CPU mesh from conftest)
+    want = mp_train_worker.run(None)
+
+    out_json = tmp_path / "mp.json"
+    with socket.socket() as s:  # free rendezvous port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    result = subprocess.run(
+        [sys.executable, "-m", "parallelwavegan_tpu.distributed.launch",
+         "--nproc_per_node", "2", "--master_port", str(port),
+         os.path.join(os.path.dirname(__file__), "mp_train_worker.py"),
+         str(out_json)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        env={
+            **{k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+            "PYTHONPATH": "/root/repo:" + os.environ.get("PYTHONPATH", ""),
+        },
+    )
+    if result.returncode != 0 and (
+        "gloo" in result.stderr.lower()
+        or "collectives" in result.stderr.lower()
+    ):
+        pytest.skip(f"CPU cross-process collectives unavailable: "
+                    f"{result.stderr[-200:]}")
+    assert result.returncode == 0, result.stderr[-2000:]
+    got = json.loads(out_json.read_text())
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-4, err_msg=k)
+
+
 def test_pretrained_registry(tmp_path, monkeypatch):
     from parallelwavegan_tpu.utils import pretrained
 
