@@ -31,6 +31,11 @@ use_f0=${use_f0:-false}
 token_mode=${token_mode:-false}
 skip_normalize=${skip_normalize:-false}
 n_jobs=${n_jobs:-4}
+# job submission wrapper (Kaldi run.pl/slurm.pl analogue): every shard /
+# training job runs as `$cmd <logfile> <command...>`; the backend is
+# picked by $cmd_backend (local|slurm|ssh) inside run_job.sh, matching
+# the reference's cmd.sh selection (egs/ljspeech/voc1/cmd.sh:31-40)
+cmd=${cmd:-"bash $(dirname "${BASH_SOURCE[0]}")/run_job.sh"}
 
 while [ $# -gt 0 ]; do
     case "$1" in
@@ -42,6 +47,8 @@ while [ $# -gt 0 ]; do
         --resume) resume="$2"; shift 2 ;;
         --pretrain) pretrain="$2"; shift 2 ;;
         --n_jobs) n_jobs="$2"; shift 2 ;;
+        --cmd) cmd="$2"; shift 2 ;;
+        --cmd_backend|--cmd-backend) export cmd_backend="$2"; shift 2 ;;
         *) echo "unknown option: $1" >&2; exit 1 ;;
     esac
 done
@@ -81,9 +88,11 @@ run_preprocess_jobs() { # set module extra-args...
     n_utts=$(wc -l < "data/${set}/wav.scp")
     [ "${n}" -gt "${n_utts}" ] && n=${n_utts}
     if [ "${n}" -le 1 ]; then
-        python -m "parallelwavegan_tpu.bin.${module}" \
+        ${cmd} "${rawdir}/preprocessing.1.log" \
+            python -m "parallelwavegan_tpu.bin.${module}" \
             --wav-scp "data/${set}/wav.scp" "$@" \
             --dumpdir "${rawdir}" --config "${conf}"
+        tail -n 2 "${rawdir}/preprocessing.1.log" || true
         return
     fi
     for j in $(seq 1 "${n}"); do
@@ -92,10 +101,10 @@ run_preprocess_jobs() { # set module extra-args...
     done
     local pids=()
     for j in $(seq 1 "${n}"); do
-        python -m "parallelwavegan_tpu.bin.${module}" \
+        ${cmd} "${rawdir}/preprocessing.${j}.log" \
+            python -m "parallelwavegan_tpu.bin.${module}" \
             --wav-scp "${rawdir}/wav.${j}.scp" "$@" \
-            --dumpdir "${rawdir}" --config "${conf}" \
-            > "${rawdir}/preprocessing.${j}.log" 2>&1 &
+            --dumpdir "${rawdir}" --config "${conf}" &
         pids+=($!)
     done
     local fail=0
@@ -166,7 +175,8 @@ fi
 if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     echo "Stage 2: Training"
     mkdir -p "${expdir}"
-    python -m parallelwavegan_tpu.bin.train \
+    ${cmd} --gpu 1 "${expdir}/train.log" \
+        python -m parallelwavegan_tpu.bin.train \
         --train-dumpdir "${dumpdir}/train/norm" \
         --dev-dumpdir "${dumpdir}/dev/norm" \
         --outdir "${expdir}" --config "${conf}" \

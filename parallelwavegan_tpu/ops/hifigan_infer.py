@@ -1,0 +1,179 @@
+"""HiFi-GAN serving path: functional forward + int8 activation quantization.
+
+Behavioral source: the flax ``HiFiGANGenerator``
+(models/hifigan.py, itself matching /root/reference/parallel_wavegan/models/
+hifigan.py:23-267). This module re-expresses the generator forward as a
+functional program over pre-folded weights so serving can
+
+  1. fold weight norm once instead of per call,
+  2. optionally run the MRF conv chain — 97% of the FLOPs and bytes — with
+     int8 activations and weights.
+
+Why int8: the V1 generator at serving batch sizes is HBM-bandwidth-bound on
+TPU (measured 461-622 GB/s sustained, 2 HBM passes per conv — see
+docs/BENCHMARKS.md "HiFiGAN serving roofline"). bf16 XLA already sits at
+~82% of the practical matmul peak, and Pallas fusion loses the saved bytes
+to window-relayout VPU traffic. Halving the activation byte stream is the
+one remaining lever; int8 weights ride along (weight bytes are negligible,
+but the int8×int8 MXU path is also ~25% faster where compute-bound).
+
+Scheme: static per-tensor activation scales (one calibration pass records
+max|x| of every quantized conv input), per-output-channel weight scales.
+Conv epilogues (rescale, bias, leaky, residual add) stay in f32/bf16 and the
+requantize folds into the producing op, so every MRF activation crosses HBM
+exactly once as int8. Deconvs, the input/output convs, and tanh stay bf16
+(cheap, and the output conv's dynamic range matters for the waveform).
+
+Exactness: with quant=None this forward is bit-identical (up to dtype) to
+``HiFiGANGenerator.__call__`` — asserted in tests/test_pallas_kernels.py.
+The int8 path's copy-synthesis quality delta is measured in
+docs/VALIDATION.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallelwavegan_tpu.ops.conv import conv1d, conv_transpose1d
+
+
+def supports_fast_inference(gen) -> bool:
+    """Covers the reference HiFiGAN config space used for mel→wav serving:
+    non-causal, same #branches as resblock kernels."""
+    return (
+        not gen.use_causal_conv
+        and len(gen.resblock_kernel_sizes) == len(gen.resblock_dilations)
+    )
+
+
+def _fold(p: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fold (kernel_v, kernel_g) -> kernel; axes inferred from g's shape."""
+    if "kernel" in p:
+        k = p["kernel"]
+    else:
+        v, g = p["kernel_v"], p["kernel_g"]
+        axes = tuple(i for i, s in enumerate(g.shape) if s == 1)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+        k = v * (g / jnp.maximum(norm, 1e-12))
+    return k, p.get("bias")
+
+
+def _leaky(x, slope):
+    return jax.nn.leaky_relu(x, slope)
+
+
+def _quant_w(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel int8 weight quantization; w (K, Cin, Cout)."""
+    s = jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return wq, s.astype(jnp.float32)
+
+
+def _quant_x(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def hifigan_fast_forward(
+    gen,
+    variables: Dict[str, Any],
+    c: jnp.ndarray,
+    *,
+    scales: Optional[Dict[str, float]] = None,
+    collect_stats: bool = False,
+):
+    """Forward c (B, T', in_ch) -> (B, T'*upsample_factor, out_ch).
+
+    scales=None, collect_stats=False: exact bf16/f32 forward (math of
+      HiFiGANGenerator.__call__, weight norm folded once).
+    collect_stats=True: returns (y, stats) where stats maps tensor ids to
+      max|x| of every would-be-quantized conv input (jit-friendly; feed
+      through `make_scales`).
+    scales=dict: int8 MRF path using those static per-tensor scales.
+    """
+    assert supports_fast_inference(gen)
+    p = variables["params"]
+    slope = (gen.nonlinear_activation_params or {}).get(
+        "negative_slope", 0.1
+    )
+    dtype = c.dtype
+    stats: Dict[str, jnp.ndarray] = {}
+
+    def qconv(x, key, w, b, k, d):
+        """MRF conv: int8 when scales are given, else plain; x is the
+        pre-activation input in compute dtype."""
+        if collect_stats:
+            stats[key] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        if scales is None:
+            return conv1d(x, w.astype(x.dtype), b, padding=(k - 1) // 2 * d,
+                          dilation=d)
+        sx = jnp.asarray(scales[key], jnp.float32)
+        wq, sw = _quant_w(w)
+        xq = _quant_x(x, sx.astype(x.dtype))
+        y = conv1d(xq, wq, None, padding=(k - 1) // 2 * d, dilation=d,
+                   precision=None)
+        y = y.astype(jnp.float32) * (sx * sw)
+        if b is not None:
+            y = y + b
+        return y.astype(x.dtype)
+
+    # input conv (bf16)
+    w, b = _fold(p["input_conv"])
+    x = conv1d(c, w.astype(dtype), b, padding=(gen.kernel_size - 1) // 2)
+
+    num_blocks = len(gen.resblock_kernel_sizes)
+    for i, (s_up, k_up) in enumerate(
+        zip(gen.upsample_scales, gen.upsample_kernel_sizes)
+    ):
+        x = _leaky(x, slope)
+        w, b = _fold(p[f"upsamples_{i}"])
+        x = conv_transpose1d(
+            x, w.astype(dtype), b, stride=s_up,
+            padding=s_up // 2 + s_up % 2, output_padding=s_up % 2,
+        )
+        acc = 0.0
+        for j, (k_res, dils) in enumerate(
+            zip(gen.resblock_kernel_sizes, gen.resblock_dilations)
+        ):
+            bp = p[f"blocks_{i * num_blocks + j}"]
+            xb = x
+            for li, d in enumerate(dils):
+                w1, b1 = _fold(bp[f"convs1_{li}"])
+                xt = _leaky(xb, slope)
+                xt = qconv(xt, f"s{i}_b{j}_l{li}_c1", w1, b1, k_res, d)
+                if gen.use_additional_convs:
+                    w2, b2 = _fold(bp[f"convs2_{li}"])
+                    xt = _leaky(xt, slope)
+                    xt = qconv(xt, f"s{i}_b{j}_l{li}_c2", w2, b2, k_res, 1)
+                xb = xt + xb
+            acc = acc + xb
+        x = acc / num_blocks
+    # official impl uses the default slope here (models/hifigan.py:129)
+    x = _leaky(x, 0.01)
+    w, b = _fold(p["output_conv"])
+    x = conv1d(x, w.astype(dtype), b, padding=(gen.kernel_size - 1) // 2)
+    y = jnp.tanh(x)
+    if collect_stats:
+        return y, stats
+    return y
+
+
+def make_scales(stats: Dict[str, jnp.ndarray], margin: float = 1.05
+                ) -> Dict[str, float]:
+    """Calibration stats (max|x| per tensor) -> static per-tensor scales."""
+    return {
+        k: float(np.maximum(np.asarray(v) * margin, 1e-8)) / 127.0
+        for k, v in stats.items()
+    }
+
+
+def calibrate(gen, variables, c) -> Dict[str, float]:
+    """One bf16 pass over representative mels -> int8 activation scales."""
+    fwd = jax.jit(
+        lambda v, c: hifigan_fast_forward(gen, v, c, collect_stats=True)[1]
+    )
+    return make_scales(jax.device_get(fwd(variables, c)))
