@@ -1,19 +1,23 @@
-"""Benchmark: Parallel WaveGAN V1 copy-synthesis throughput on one chip.
+"""Benchmark: copy-synthesis throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric: synthesized audio-seconds per wall-second per chip (22.05 kHz) for
-the reference's eponymous flagship model, Parallel WaveGAN V1 (LJSpeech
-config, egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml), bf16 serving
-dtype, batch=32 x 5.9 s utterances, using the fused Pallas WaveNet-stack
-kernel (ops/pallas/wavenet_stack.py). Baseline: the reference's published
-decode RTF 0.016 on a TITAN V GPU (README.md:148-153) = 62.5 audio-s/s.
+Default mode prints one JSON line per model —
+{"metric", "value", "unit", "vs_baseline"} — for Parallel WaveGAN V1
+(fused Pallas WaveNet stack, batch 32) first and then the headline
+HiFi-GAN V1 (BASELINE.json's north-star model; batch 128, bf16,
+weight-norm-folded fast path, ops/hifigan_infer.py). The LAST line is the
+headline. Baselines: PWG — the reference's published decode RTF 0.016 on
+a TITAN V (README.md:148-153) = 62.5 audio-s/s; HiFiGAN — the reference
+publishes no HiFiGAN RTF, so vs_baseline is against the FASTEST decode
+throughput it publishes for any model (Multi-band MelGAN RTF 0.001 on
+TITAN V = 1000 audio-s/s, README.md:181-183) — a conservative anchor.
 
 `BENCH_MODE=train python bench.py` instead measures full adversarial
-training steps/s for the same config (G update + D update, batch 6 x
+training steps/s for the PWG V1 config (G update + D update, batch 6 x
 25600 samples); baseline = the reference's published 400k steps in ~3 days
 on a TITAN V (egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml:4) = 1.54
-steps/s.
+steps/s. `BENCH_MODE=<family>` benches the other families;
+`BENCH_INT8=1` adds the int8-activation HiFiGAN serving mode (quality
+delta documented in docs/VALIDATION.md).
 
 Timing note: each timed iteration ends in a device->host scalar readback —
 block_until_ready alone under-reports on this platform's tunneled TPU.
@@ -70,6 +74,19 @@ def main():
         return train_bench()
     if mode in ("melgan", "mb_melgan", "hifigan", "style_melgan"):
         return family_bench(mode)
+    if mode in ("", "default"):
+        pwg_bench()
+        return hifigan_v1_bench()  # LAST line = headline
+    if mode == "pwg":
+        return pwg_bench()
+    if mode == "hifigan_fast":
+        return hifigan_v1_bench()
+    raise SystemExit(f"unknown BENCH_MODE={mode!r}")
+
+
+def pwg_bench():
+    import jax
+    import jax.numpy as jnp
 
     from parallelwavegan_tpu.models import ParallelWaveGANGenerator
     from parallelwavegan_tpu.ops.pallas.pwg_infer import pwg_fused_forward
@@ -126,6 +143,78 @@ def main():
             }
         )
     )
+
+
+def hifigan_v1_bench():
+    """Headline: HiFi-GAN V1 copy-synthesis, batch 128 x 5.9 s, bf16 fast
+    path (weight norm folded once, ops/hifigan_infer.py). BENCH_INT8=1
+    additionally reports the int8-activation serving mode."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from parallelwavegan_tpu.models import get_model_class
+    from parallelwavegan_tpu.ops.hifigan_infer import (
+        calibrate,
+        hifigan_fast_forward,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    conf = os.path.join(here, "egs/ljspeech/voc1/conf/hifigan.v1.yaml")
+    with open(conf) as f:
+        cfg = yaml.safe_load(f)
+    sr = cfg["sampling_rate"]
+    gen = get_model_class(cfg["generator_type"])(**cfg["generator_params"])
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    frames = int(os.environ.get("BENCH_FRAMES", 512))
+    dtype = jnp.bfloat16
+    cs = [
+        jnp.asarray(
+            np.random.default_rng(s).standard_normal((batch, frames, 80)),
+            dtype,
+        )
+        for s in range(3)
+    ]
+    variables = gen.init(
+        {"params": jax.random.key(0)}, cs[0][:1, :16].astype(jnp.float32)
+    )
+    variables = jax.tree.map(lambda x: x.astype(dtype), variables)
+    samples = batch * frames * int(np.prod(cfg["generator_params"]["upsample_scales"]))
+    # reference publishes no HiFiGAN RTF; anchor against its fastest
+    # published decode throughput (MB-MelGAN RTF 0.001 TITAN V)
+    baseline = 1000.0
+
+    def run(scales, name):
+        f = jax.jit(
+            lambda v, c: jnp.sum(
+                hifigan_fast_forward(gen, v, c, scales=scales).astype(
+                    jnp.float32
+                )
+            )
+        )
+        float(f(variables, cs[0]))
+        elapsed = _steady_state_time(
+            lambda i: f(variables, cs[1 + i % 2])
+        )
+        value = samples / sr / elapsed
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(value, 2),
+                    "unit": "audio-s/s",
+                    "vs_baseline": round(value / baseline, 3),
+                }
+            )
+        )
+
+    if os.environ.get("BENCH_INT8"):
+        scales = calibrate(gen, variables, cs[0])
+        run(
+            scales,
+            "hifigan_v1_int8_synthesis_audio_seconds_per_sec_per_chip",
+        )
+    run(None, "hifigan_v1_synthesis_audio_seconds_per_sec_per_chip")
 
 
 _FAMILY_CONFIGS = {

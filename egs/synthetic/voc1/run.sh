@@ -7,12 +7,14 @@ cd "$(dirname "$0")"
 conf=conf/parallel_wavegan.v1.debug.yaml
 stage=0
 n_utts=12
+rich=false
 
 # peel off --n_utts before the shared parser sees it
 args=()
 while [ $# -gt 0 ]; do
     case "$1" in
         --n_utts) n_utts="$2"; shift 2 ;;
+        --rich) rich="$2"; shift 2 ;;
         *) args+=("$1"); shift ;;
     esac
 done
@@ -21,8 +23,10 @@ set -- ${args[@]+"${args[@]}"}
 download() { :; }  # nothing to download: the corpus is generated in stage 0
 
 data_prep() {
+    rich_flag=()
+    [ "${rich}" = true ] && rich_flag=(--rich)
     python local/make_synthetic_data.py --outdir data --n-utts "${n_utts}" \
-        --config "${conf}"
+        --config "${conf}" ${rich_flag[@]+"${rich_flag[@]}"}
 }
 
 source ../../common/run_stages.sh "$@"

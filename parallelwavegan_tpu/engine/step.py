@@ -194,6 +194,27 @@ def build_steps(
     lambda_adv = config.get("lambda_adv", 4.0)
     lambda_fm = config.get("lambda_feat_match", 2.0)
     lambda_commit = config.get("lambda_commit", 0.25)
+    dis_type = config.get(
+        "discriminator_type", "ParallelWaveGANDiscriminator"
+    )
+    # Fused real|fake discriminator pass: one forward over
+    # concat([real, fake]) instead of two — every module in the
+    # PWG/MelGAN/HiFiGAN discriminators is batch-pointwise (convs,
+    # weight/spectral norm; no batch stats), so the split outputs are
+    # IDENTICAL to two passes (tested in test_trainer.py) while halving
+    # the op count of the dispatch-bound D path (~70 small convs in
+    # MSMPD). Exceptions that keep the two-pass reference behavior:
+    #   - StyleMelGAN D draws random windows per forward (reference
+    #     style_melgan.py:324-337 gives real and fake independent
+    #     windows), so fusing would change training semantics;
+    #   - the spectral-norm power iteration advances once instead of
+    #     twice per step (it depends only on the weights; the trajectory
+    #     difference is below train-noise — see docs/BENCHMARKS.md).
+    fuse_rf = bool(
+        config.get(
+            "fuse_real_fake_discriminator", "StyleMelGAN" not in dis_type
+        )
+    )
 
     # mixed precision (config `mixed_precision: true`): master params stay
     # f32 (optimizer/gradient accumulation precision), network forwards run
@@ -305,14 +326,28 @@ def build_steps(
         if use_adv:
             # discriminator in eval mode during the generator update (the
             # spectral-norm u update happens in the discriminator update)
-            p_, _ = dis_forward(params_d, extra_d, y_, r_d1, train=False)
+            if fuse_rf and "feat_match" in criterion:
+                # one fused fake|real pass (see fuse_rf note above); grads
+                # w.r.t. params_d are never taken here and feat_match
+                # stop-grads the real features internally
+                nb = y_.shape[0]
+                p_all, _ = dis_forward(
+                    params_d, extra_d,
+                    jnp.concatenate([y_, y], axis=0), r_d1, train=False,
+                )
+                p_ = jax.tree_util.tree_map(lambda t: t[:nb], p_all)
+                p = jax.tree_util.tree_map(lambda t: t[nb:], p_all)
+            else:
+                p_, _ = dis_forward(params_d, extra_d, y_, r_d1, train=False)
+                p = None
             adv_loss = criterion["gen_adv"](p_)
             metrics["adversarial_loss"] = adv_loss
             if "feat_match" in criterion:
-                p, _ = dis_forward(
-                    jax.lax.stop_gradient(params_d), extra_d, y, r_d2,
-                    train=False,
-                )
+                if p is None:
+                    p, _ = dis_forward(
+                        jax.lax.stop_gradient(params_d), extra_d, y, r_d2,
+                        train=False,
+                    )
                 fm_loss = criterion["feat_match"](p_, p)
                 metrics["feature_matching_loss"] = fm_loss
                 adv_loss = adv_loss + lambda_fm * fm_loss
@@ -329,11 +364,21 @@ def build_steps(
     )
 
     def dis_losses(params_d, extra_d, y, y_hat, rng, train):
-        r1, r2 = jax.random.split(rng)
-        p, extra1 = dis_forward(params_d, extra_d, y, r1, train)
-        p_, extra2 = dis_forward(
-            params_d, extra1, jax.lax.stop_gradient(y_hat), r2, train
-        )
+        if fuse_rf:
+            # fused real|fake pass (see fuse_rf note above)
+            nb = y.shape[0]
+            both = jnp.concatenate(
+                [y, jax.lax.stop_gradient(y_hat)], axis=0
+            )
+            p_all, extra2 = dis_forward(params_d, extra_d, both, rng, train)
+            p = jax.tree_util.tree_map(lambda t: t[:nb], p_all)
+            p_ = jax.tree_util.tree_map(lambda t: t[nb:], p_all)
+        else:
+            r1, r2 = jax.random.split(rng)
+            p, extra1 = dis_forward(params_d, extra_d, y, r1, train)
+            p_, extra2 = dis_forward(
+                params_d, extra1, jax.lax.stop_gradient(y_hat), r2, train
+            )
         real_loss, fake_loss = criterion["dis_adv"](p_, p)
         dis_loss = real_loss + fake_loss
         metrics = {

@@ -151,6 +151,79 @@ def test_hifigan_training_with_msmpd(tmp_path):
     assert "spectral" in state.extra_d
 
 
+def test_fused_real_fake_discriminator_matches_two_pass():
+    """fuse_real_fake_discriminator=true (one concat pass) must produce the
+    same step metrics as the reference-shaped two-pass path: every module
+    is batch-pointwise, so the fused split is mathematically identical
+    (weight norm; spectral norm off so the power-iteration count can't
+    differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.engine.build import (
+        example_batch,
+        init_train_state,
+    )
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+    from parallelwavegan_tpu.engine.step import build_steps
+
+    base = {
+        "sampling_rate": 8000, "hop_size": 64, "num_mels": 16,
+        "batch_max_steps": 512, "batch_size": 4,
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": {
+            "in_channels": 16, "channels": 16, "upsample_scales": (4, 4, 4),
+            "upsample_kernel_sizes": (8, 8, 8),
+            "resblock_kernel_sizes": (3,), "resblock_dilations": ((1, 3),),
+        },
+        "discriminator_type": "HiFiGANMultiScaleMultiPeriodDiscriminator",
+        "discriminator_params": {
+            "scales": 2,
+            "scale_discriminator_params": {
+                "channels": 8, "downsample_scales": (2, 2), "max_groups": 4,
+                "max_downsample_channels": 32,
+            },
+            "follow_official_norm": False,
+            "periods": (2, 3),
+            "period_discriminator_params": {
+                "channels": 4, "downsample_scales": (3, 1),
+                "max_downsample_channels": 16,
+            },
+        },
+        "use_stft_loss": False,
+        "use_mel_loss": True,
+        "mel_loss_params": {
+            "fs": 8000, "fft_size": 128, "hop_size": 32, "win_length": 128,
+            "num_mels": 16, "fmin": 0, "fmax": 4000, "log_base": None,
+        },
+        "use_feat_match_loss": True,
+        "lambda_aux": 1.0, "lambda_adv": 1.0, "lambda_feat_match": 2.0,
+        "generator_optimizer_type": "Adam",
+        "generator_optimizer_params": {"lr": 1e-4},
+        "discriminator_optimizer_type": "Adam",
+        "discriminator_optimizer_params": {"lr": 1e-4},
+        "generator_grad_norm": -1, "discriminator_grad_norm": -1,
+    }
+    batch = {
+        k: jnp.asarray(v) for k, v in example_batch(base, batch_size=4).items()
+    }
+    results = {}
+    for fused in (False, True):
+        config = dict(base, fuse_real_fake_discriminator=fused)
+        state, g, d, og, od = init_train_state(config, jax.random.key(0))
+        criterion = build_criterion(config)
+        factory, _ = build_steps(config, g, d, criterion, og, od)
+        step = factory(True, True, True)
+        _, metrics = step(state, batch, jax.random.key(1))
+        results[fused] = jax.device_get(metrics)
+    assert set(results[True]) == set(results[False])
+    for k in results[True]:
+        np.testing.assert_allclose(
+            results[True][k], results[False][k], rtol=2e-5, atol=1e-6,
+            err_msg=k,
+        )
+
+
 def test_multiband_melgan_training(tmp_path):
     config = _base_config(tmp_path)
     config.update(
