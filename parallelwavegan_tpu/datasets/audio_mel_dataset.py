@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import logging
 import os
-from multiprocessing import Manager
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -49,9 +48,15 @@ class _CachedDataset:
         self.utt_ids = utt_ids
         self.allow_cache = allow_cache
         if allow_cache:
-            self.manager = Manager()
-            self.caches = self.manager.list()
-            self.caches += [() for _ in range(len(utt_ids))]
+            # The reference caches via multiprocessing.Manager because torch
+            # DataLoader workers are separate processes
+            # (/root/reference/parallel_wavegan/datasets/audio_mel_dataset.py:64-68).
+            # Our loader prefetches with THREADS (datasets/loader.py), so a
+            # plain list is correct (item assignment is GIL-atomic) and much
+            # faster (no IPC pickling per item). It also avoids forking a
+            # Manager server after JAX starts its runtime threads, which can
+            # deadlock the forked child on an inherited lock.
+            self.caches = [() for _ in range(len(utt_ids))]
 
     def __len__(self):
         return len(self.utt_ids)

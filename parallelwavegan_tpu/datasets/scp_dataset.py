@@ -8,7 +8,6 @@ The feats-scp kind is sniffed from the first line: "file.h5:path" -> hdf5,
 from __future__ import annotations
 
 import logging
-from multiprocessing import Manager
 
 import numpy as np
 
@@ -87,9 +86,10 @@ class AudioMelSCPDataset:
         self.return_sampling_rate = return_sampling_rate
         self.allow_cache = allow_cache
         if allow_cache:
-            self.manager = Manager()
-            self.caches = self.manager.list()
-            self.caches += [() for _ in range(len(self.utt_ids))]
+            # plain list, not multiprocessing.Manager: the prefetch loader is
+            # threaded, and forking a Manager server after JAX starts its
+            # runtime threads can deadlock (see audio_mel_dataset._CachedDataset)
+            self.caches = [() for _ in range(len(self.utt_ids))]
 
     def __len__(self):
         return len(self.utt_ids)
@@ -136,9 +136,10 @@ class AudioSCPDataset:
         self.return_sampling_rate = return_sampling_rate
         self.allow_cache = allow_cache
         if allow_cache:
-            self.manager = Manager()
-            self.caches = self.manager.list()
-            self.caches += [() for _ in range(len(self.utt_ids))]
+            # plain list, not multiprocessing.Manager: the prefetch loader is
+            # threaded, and forking a Manager server after JAX starts its
+            # runtime threads can deadlock (see audio_mel_dataset._CachedDataset)
+            self.caches = [() for _ in range(len(self.utt_ids))]
 
     def __len__(self):
         return len(self.utt_ids)
@@ -178,9 +179,10 @@ class MelSCPDataset:
         self.return_utt_id = return_utt_id
         self.allow_cache = allow_cache
         if allow_cache:
-            self.manager = Manager()
-            self.caches = self.manager.list()
-            self.caches += [() for _ in range(len(self.utt_ids))]
+            # plain list, not multiprocessing.Manager: the prefetch loader is
+            # threaded, and forking a Manager server after JAX starts its
+            # runtime threads can deadlock (see audio_mel_dataset._CachedDataset)
+            self.caches = [() for _ in range(len(self.utt_ids))]
 
     def __len__(self):
         return len(self.utt_ids)
