@@ -98,6 +98,24 @@ class Trainer:
         for k, v in metrics.items():
             self.total_train_loss[f"train/{k}"] += v
         self._accum_steps = getattr(self, "_accum_steps", 0) + 1
+        # Bound the async dispatch queue. The host can race hundreds of
+        # dispatched steps ahead of the device (epochs over a cached
+        # dataset dispatch in ~ms), and the tunneled TPU backend has been
+        # observed to wedge outright with a ~250-deep execution queue
+        # (device idle, host blocked forever on the first readback).
+        # Waiting on the metrics from `depth` steps ago caps in-flight
+        # work while keeping the pipeline full — executions are
+        # sequential per device, so step N-depth being done bounds the
+        # queue at `depth` without ever draining it.
+        depth = int(self.config.get("dispatch_queue_depth", 32))
+        if depth > 0:
+            if not hasattr(self, "_inflight"):
+                from collections import deque
+
+                self._inflight = deque()
+            self._inflight.append(next(iter(metrics.values())))
+            if len(self._inflight) > depth:
+                jax.block_until_ready(self._inflight.popleft())
         self.steps += 1
         self._check_log_interval()
         self._check_eval_interval()
