@@ -87,12 +87,23 @@ def mcep_from_periodogram(
     logP = np.log(P)
 
     def energy(mc):
+        # exp argument clamped at 700: line-search candidates can overshoot
+        # far past the optimum before damping rejects them, and exp(>709.8)
+        # overflows float64. Any candidate with a clamped term has energy
+        # >= exp(700)/n_fft >> E + 1e-15, so it is rejected either way and
+        # the clamp never changes the accepted iterate path.
         R = logP - 2.0 * (mc @ A.T)
-        return ((np.exp(R) - R - 1.0) * w).sum(-1)
+        return ((np.exp(np.minimum(R, 700.0)) - R - 1.0) * w).sum(-1)
 
-    # init: gain-only model (matches the mean log level)
-    mc = np.zeros((F, order + 1))
-    mc[:, 0] = 0.5 * (logP * w).sum(-1)
+    # init: weighted least-squares fit of the full log spectrum onto the
+    # warped cosine basis (min sum_k w_k (logP_k - 2 mc.A_k)^2). Unlike a
+    # gain-only init, this bounds the initial residual R on large-dynamic-
+    # range frames, so exp(R) in the first Newton iteration cannot
+    # overflow; the criterion is strictly convex so the converged result
+    # is init-independent.
+    gram = (A * w[:, None]).T @ A  # (M+1, M+1)
+    rhs = (logP * w) @ A  # (F, M+1)
+    mc = 0.5 * np.linalg.solve(gram, rhs.T).T
     E = energy(mc)
     wA = w[:, None] * A  # (K, M+1)
     for _ in range(max_iter):

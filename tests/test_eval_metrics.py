@@ -267,3 +267,48 @@ def test_fastdtw_matches_exact_dtw_on_easy_sequences():
     cost_exact = np.sum(np.sqrt(((x[ex] - y[ey]) ** 2).sum(-1)))
     assert cost_fast >= cost_exact - 1e-9
     assert cost_fast < 1e-9  # warped copy aligns perfectly
+
+
+def test_mcep_no_overflow_on_large_dynamic_range():
+    """Regression: the Newton solver must run overflow-free on real
+    decoded speech-like audio with large per-frame dynamic range.
+
+    tests/data/mcep_overflow_regression.wav is a slice of a rich-corpus
+    ground-truth utterance (egs/synthetic rich mode) on which the previous
+    gain-only initialization overflowed np.exp inside the criterion (the
+    damped Newton recovered, but fired RuntimeWarning: overflow on every
+    rich-eval utterance). The WLS-on-log-spectrum init plus the clamped
+    line-search energy must be exactly stationary AND warning-free.
+    """
+    import os
+    import warnings
+
+    from parallelwavegan_tpu.utils.io import read_wav
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "mcep_overflow_regression.wav"
+    )
+    audio, sr = read_wav(path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        with np.errstate(over="raise", invalid="raise"):
+            mc = mcep(np.asarray(audio, np.float64), 22050)
+    assert np.isfinite(mc).all()
+    # converged to the SPTK stationary point: gradient of the criterion ~ 0
+    from parallelwavegan_tpu.ops.eval_metrics import warped_phase
+
+    a = np.asarray(audio, np.float64)
+    if np.abs(a).max() <= 1.0 + 1e-6:
+        a = np.round(a * 32767.0)
+    fft_size, n_shift, order, alpha = 512, 256, 34, 0.45
+    n_frames = 1 + (len(a) - fft_size) // n_shift
+    idx = np.arange(n_frames)[:, None] * n_shift + np.arange(fft_size)
+    P = np.abs(np.fft.rfft(a[idx] * np.hamming(fft_size), axis=-1)) ** 2 + 1e-6
+    beta = warped_phase(np.arange(P.shape[1]) * (np.pi / (P.shape[1] - 1)), alpha)
+    A = np.cos(np.outer(beta, np.arange(order + 1)))
+    w = np.full(P.shape[1], 2.0 / fft_size)
+    w[0] = w[-1] = 1.0 / fft_size
+    D = np.exp(np.log(P) - 2.0 * (mc.astype(np.float64) @ A.T))
+    grad = 2.0 * ((1.0 - D) @ (w[:, None] * A))
+    # threshold reflects mcep()'s float32 return rounding, not solver slack
+    assert np.abs(grad).max() < 1e-4
