@@ -13,7 +13,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Any, Dict, Optional
 
 import jax
@@ -59,6 +59,7 @@ class Trainer:
         self.steps = 0
         self.epochs = 0
         self.finish_train = False
+        self._inflight: deque = deque()
         self.total_train_loss: Dict[str, float] = defaultdict(float)
         self.writer = None
         if jax.process_index() == 0 and self.outdir:
@@ -108,11 +109,7 @@ class Trainer:
         # sequential per device, so step N-depth being done bounds the
         # queue at `depth` without ever draining it.
         depth = int(self.config.get("dispatch_queue_depth", 32))
-        if depth > 0:
-            if not hasattr(self, "_inflight"):
-                from collections import deque
-
-                self._inflight = deque()
+        if depth > 0 and metrics:
             self._inflight.append(next(iter(metrics.values())))
             if len(self._inflight) > depth:
                 jax.block_until_ready(self._inflight.popleft())

@@ -375,3 +375,79 @@ def test_reference_compat_config_keys():
                          "duration_loss_params": None})
     assert c["duration"].offset == 1.0
     assert "duration" not in build_criterion({})
+
+
+def test_dispatch_queue_is_bounded(tmp_path, monkeypatch):
+    """The async dispatch queue (config dispatch_queue_depth) must never
+    hold more than `depth` in-flight steps, and must block on the oldest
+    step exactly once per step beyond depth — this is the wedge fix for
+    the host racing hundreds of dispatched steps ahead of the device
+    (engine/trainer.py), which only reproduces on real TPU."""
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="ParallelWaveGANGenerator",
+        generator_params={
+            "layers": 2, "stacks": 1, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 16,
+            "aux_context_window": 2,
+            "upsample_params": {"upsample_scales": [4, 4, 4]},
+        },
+        discriminator_type="ParallelWaveGANDiscriminator",
+        discriminator_params={"layers": 2, "conv_channels": 8},
+        discriminator_train_start_steps=0,
+        generator_train_start_steps=0,
+        train_max_steps=8,
+        log_interval_steps=100,  # no mid-run reset: assert accumulation
+        eval_interval_steps=100,
+        dispatch_queue_depth=2,
+    )
+    trainer = Trainer(config, _loader(config, use_noise_input=True))
+
+    blocked = []
+    max_len = 0
+    orig_block = jax.block_until_ready
+    orig_step = trainer._train_step
+
+    def counting_block(x):
+        blocked.append(x)
+        return orig_block(x)
+
+    def watched_step(batch):
+        nonlocal max_len
+        orig_step(batch)
+        max_len = max(max_len, len(trainer._inflight))
+
+    monkeypatch.setattr(jax, "block_until_ready", counting_block)
+    trainer._train_step = watched_step
+    trainer.run()
+    assert trainer.steps == 8
+    # the very first call (steps=0) is a warm-up no-op (steps > start_steps
+    # gating), so 7 steps actually dispatch work
+    assert max_len == 2  # never exceeds depth
+    assert len(blocked) == 7 - 2  # one block per step beyond depth
+    # metrics still accumulate across all steps despite early readbacks
+    assert trainer._accum_steps == 7
+    assert np.isfinite(float(trainer.total_train_loss["train/generator_loss"]))
+
+
+def test_dispatch_queue_depth_zero_disables_bound(tmp_path):
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="ParallelWaveGANGenerator",
+        generator_params={
+            "layers": 2, "stacks": 1, "residual_channels": 8,
+            "gate_channels": 16, "skip_channels": 8, "aux_channels": 16,
+            "aux_context_window": 2,
+            "upsample_params": {"upsample_scales": [4, 4, 4]},
+        },
+        discriminator_type="ParallelWaveGANDiscriminator",
+        discriminator_params={"layers": 2, "conv_channels": 8},
+        discriminator_train_start_steps=0,
+        generator_train_start_steps=0,
+        train_max_steps=3,
+        dispatch_queue_depth=0,
+    )
+    trainer = Trainer(config, _loader(config, use_noise_input=True))
+    trainer.run()
+    assert trainer.steps == 3
+    assert len(trainer._inflight) == 0
