@@ -8,6 +8,9 @@
 # Backend comes from $cmd_backend (default "local"):
 #   local — run the command in this shell, output to <logfile>
 #   slurm — srun (blocking) with -c/--gres mapped from the options
+#   queue — SGE qsub -sync y (blocking), -pe smp/-l gpu mapped from the
+#           options, log via -o (the queue.pl analogue,
+#           reference egs/ljspeech/voc1/cmd.sh:31-35)
 #   ssh   — round-robin over the hosts in $ssh_hosts (space-separated);
 #           the working directory is replicated via cd
 #
@@ -39,6 +42,12 @@ case "${backend}" in
         srun_opts=(--ntasks=1 --cpus-per-task="${num_threads}")
         [ "${gpus}" -gt 0 ] && srun_opts+=("--gres=gpu:${gpus}")
         srun "${srun_opts[@]}" "$@" > "${log}" 2>&1
+        ;;
+    queue)
+        qsub_opts=(-sync y -cwd -j y -o "${log}" -b y)
+        [ "${num_threads}" -gt 1 ] && qsub_opts+=(-pe smp "${num_threads}")
+        [ "${gpus}" -gt 0 ] && qsub_opts+=(-l "gpu=${gpus}")
+        qsub "${qsub_opts[@]}" "$@"
         ;;
     ssh)
         [ -n "${ssh_hosts:-}" ] || { echo "ssh backend needs \$ssh_hosts" >&2; exit 1; }

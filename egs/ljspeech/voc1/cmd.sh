@@ -6,6 +6,8 @@
 #   local : run jobs on this host (default)
 #   slurm : submit through srun (blocking); --gpu/--num-threads map to
 #           --gres/--cpus-per-task
+#   queue : SGE qsub -sync y (blocking); --gpu/--num-threads map to
+#           -l gpu= / -pe smp (the queue.pl analogue)
 #   ssh   : round-robin over $ssh_hosts (e.g. "host1 host2")
 #
 # Usage from a recipe:   . ./cmd.sh; ./run.sh --cmd "${train_cmd}"
