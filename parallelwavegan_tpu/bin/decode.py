@@ -24,6 +24,59 @@ from parallelwavegan_tpu.utils.io import load_config, read_hdf5, write_wav
 from parallelwavegan_tpu.utils.model_loader import load_model
 
 
+class _RTFMeter:
+    """Separates first-call (jit trace + compile) from steady-state timing.
+
+    The reference reports a single steady-state-by-nature RTF (its torch
+    decode pays no compile; bin/decode.py:257-260). Under XLA a cold call
+    can be minutes of remote compilation, so one blended RTF is dishonest
+    in both directions; we report both, flagging calls during which the
+    model compiled a new shape (model.compile_events)."""
+
+    def __init__(self, model):
+        self._model = model
+        self._last_events = model.compile_events
+        self.cold_t = self.cold_audio = 0.0
+        self.warm_t = self.warm_audio = 0.0
+        self.rtf_sum = 0.0  # reference-style per-utterance RTF average
+        self.n_utts = 0
+        self.n_cold = 0
+
+    def add(self, elapsed: float, audio_s: float, n_utts: int = 1):
+        events = self._model.compile_events
+        cold = events != self._last_events
+        self._last_events = events
+        if cold:
+            self.cold_t += elapsed
+            self.cold_audio += audio_s
+            self.n_cold += 1
+        else:
+            self.warm_t += elapsed
+            self.warm_audio += audio_s
+        self.rtf_sum += elapsed / max(audio_s, 1e-9) * n_utts
+        self.n_utts += n_utts
+
+    def log(self):
+        logging.info(
+            f"Finished generation of {self.n_utts} utterances "
+            f"(RTF = {self.rtf_sum / max(self.n_utts, 1):.06f})."
+        )
+        if self.warm_audio > 0:
+            rtf = self.warm_t / self.warm_audio
+            logging.info(
+                f"Steady-state RTF = {rtf:.06f} "
+                f"({self.warm_audio / max(self.warm_t, 1e-9):.1f} audio-s/s, "
+                f"excluding {self.n_cold} first-call batches)."
+            )
+        if self.n_cold:
+            logging.info(
+                f"First-call (incl. jit compile) RTF = "
+                f"{self.cold_t / max(self.cold_audio, 1e-9):.06f} over "
+                f"{self.n_cold} batches; warm the persistent compile cache "
+                f"to amortize."
+            )
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Decode dumped features with a trained vocoder."
@@ -44,8 +97,32 @@ def main():
         "InferenceModel.inference_chunked)",
     )
     parser.add_argument("--use-f0", action="store_true")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8-activation HiFiGAN serving mode: calibrates per-tensor "
+        "activation scales on the first --int8-calib-utts mels, then runs "
+        "the MRF convs (97%% of the byte stream) with int8 activations and "
+        "weights (throughput/quality deltas: docs/VALIDATION.md)",
+    )
+    parser.add_argument(
+        "--int8-calib-utts", default=8, type=int,
+        help="number of utterances used for int8 calibration",
+    )
+    parser.add_argument(
+        "--dtype", default=None, choices=[None, "float32", "bfloat16"],
+        help="compute dtype for synthesis (default float32; bfloat16 is "
+        "the bench's serving configuration, ~2x faster on TPU)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
+
+    from parallelwavegan_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    # without this every invocation re-pays multi-minute remote XLA
+    # compiles; with it steady-state decode matches bench.py's throughput
+    enable_persistent_compile_cache()
 
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARN,
@@ -129,14 +206,31 @@ def main():
         )
     logging.info(f"The number of features to be decoded = {len(dataset)}.")
 
-    model = load_model(args.checkpoint, config, stats=args.stats)
+    import jax.numpy as jnp
+
+    dtype = {None: None, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        args.dtype
+    ]
+    model = load_model(args.checkpoint, config, stats=args.stats,
+                       dtype=dtype)
     config = model.config
     sr = config.get("sampling_rate", 22050)
 
     os.makedirs(args.outdir, exist_ok=True)
-    total_rtf = 0.0
     items = list(dataset)
-    n_done = 0
+    meter = _RTFMeter(model)
+
+    if args.int8:
+        calib = []
+        for item in items[: args.int8_calib_utts]:
+            c = item[1]
+            if args.normalize_before:
+                c = (c - model.mean) / model.scale
+            calib.append(np.asarray(c, np.float32))
+        logging.info(
+            f"Calibrating int8 activation scales on {len(calib)} utterances."
+        )
+        model.quantize_int8(calib)
 
     if gen_type == "VQVAE":
         # per-utterance encode -> decode; dump discrete symbols like the
@@ -160,7 +254,7 @@ def main():
                 indices = model.vq_encode(audio)
                 y = model.vq_decode(indices, l=l, g=g)
                 elapsed = time.time() - start
-                total_rtf += elapsed / (len(y) / sr)
+                meter.add(elapsed, len(y) / sr)
                 write_wav(
                     os.path.join(args.outdir, f"{utt_id}_gen.wav"),
                     y[:, 0], sr,
@@ -168,7 +262,6 @@ def main():
                 symbol_lines.append(
                     utt_id + " " + " ".join(map(str, indices.tolist()))
                 )
-                n_done += 1
                 pbar.update(1)
         with open(os.path.join(args.outdir, "text"), "w") as f:
             f.write("\n".join(symbol_lines) + "\n")
@@ -189,12 +282,11 @@ def main():
                     f0=f0, excitation=excitation,
                 )
                 elapsed = time.time() - start
-                total_rtf += elapsed / (len(w) / sr)
+                meter.add(elapsed, len(w) / sr)
                 write_wav(
                     os.path.join(args.outdir, f"{utt_id}_gen.wav"),
                     w[:, 0], sr,
                 )
-                n_done += 1
                 pbar.update(1)
     elif args.chunk_frames > 0:
         with tqdm(total=len(items)) as pbar:
@@ -205,12 +297,11 @@ def main():
                     normalize_before=args.normalize_before,
                 )
                 elapsed = time.time() - start
-                total_rtf += elapsed / (len(w) / sr)
+                meter.add(elapsed, len(w) / sr)
                 write_wav(
                     os.path.join(args.outdir, f"{utt_id}_gen.wav"),
                     w[:, 0], sr,
                 )
-                n_done += 1
                 pbar.update(1)
     else:
         with tqdm(total=len(items)) as pbar:
@@ -224,19 +315,15 @@ def main():
                 )
                 elapsed = time.time() - start
                 audio_s = sum(len(w) for w in waves) / sr
-                total_rtf += elapsed / audio_s * len(chunk)
+                meter.add(elapsed, audio_s, n_utts=len(chunk))
                 for utt_id, w in zip(utt_ids, waves):
                     write_wav(
                         os.path.join(args.outdir, f"{utt_id}_gen.wav"),
                         w[:, 0], sr,
                     )
-                n_done += len(chunk)
                 pbar.update(len(chunk))
 
-    logging.info(
-        f"Finished generation of {n_done} utterances "
-        f"(RTF = {total_rtf / max(n_done, 1):.06f})."
-    )
+    meter.log()
 
 
 if __name__ == "__main__":

@@ -280,7 +280,14 @@ def main():
 
     from parallelwavegan_tpu.engine import Trainer
     from parallelwavegan_tpu.parallel import init_distributed
+    from parallelwavegan_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
 
+    # without this every invocation re-pays multi-minute remote compiles of
+    # the train-step variants (the bench's throughput was unreachable from
+    # the CLI before)
+    enable_persistent_compile_cache()
     init_distributed()
 
     # suppress logging of non-zero processes (reference train.py:1084-1086)

@@ -93,6 +93,13 @@ class InferenceModel:
         self.gen_type = gen_type
         self.upsample_factor = self._upsample_factor(gen_params)
         self._jit_cache: Dict[Any, Any] = {}
+        # bumped whenever a call needs a shape not seen before (i.e. the
+        # call pays jit tracing + compilation); lets callers separate
+        # first-call from steady-state timing honestly
+        self.compile_events = 0
+        # int8 activation scales for the HiFiGAN serving path (see
+        # quantize_int8); None = full-precision forward
+        self._int8_scales = None
 
     def _upsample_factor(self, gp) -> int:
         if self.gen_type == "ParallelWaveGANGenerator":
@@ -127,6 +134,7 @@ class InferenceModel:
     # ------------------------------------------------------------------
     def _forward_fn(self, shape_key):
         if shape_key not in self._jit_cache:
+            self.compile_events += 1
             gen = self.generator
 
             if self.gen_type == "ParallelWaveGANGenerator":
@@ -168,6 +176,19 @@ class InferenceModel:
                     # z = (f0, excitation)
                     f0, excitation = z
                     return gen.apply(variables, c, f0, excitation)
+            elif (
+                self.gen_type == "HiFiGANGenerator"
+                and self._int8_scales is not None
+            ):
+                from parallelwavegan_tpu.ops.hifigan_infer import (
+                    hifigan_fast_forward,
+                )
+
+                scales = self._int8_scales
+
+                def fn(variables, c, z):
+                    return hifigan_fast_forward(gen, variables, c,
+                                                scales=scales)
             else:
                 def fn(variables, c, z):
                     y = gen.apply(variables, c)
@@ -177,6 +198,40 @@ class InferenceModel:
 
             self._jit_cache[shape_key] = jax.jit(fn)
         return self._jit_cache[shape_key]
+
+    def quantize_int8(self, calib_mels) -> None:
+        """Enable the int8-activation HiFiGAN serving mode.
+
+        One calibration pass over representative (normalized) mels records
+        per-tensor max|x| of every MRF conv input; subsequent synthesize_
+        batch/inference calls run those convs with int8 activations and
+        weights (ops/hifigan_infer.py — the int8x8 MXU path plus a halved
+        HBM byte stream). Throughput and copy-synthesis quality deltas are
+        recorded in docs/VALIDATION.md ("int8 serving mode").
+        """
+        from parallelwavegan_tpu.ops.hifigan_infer import (
+            calibrate,
+            supports_fast_inference,
+        )
+
+        if self.gen_type != "HiFiGANGenerator":
+            raise ValueError(
+                f"int8 serving supports HiFiGANGenerator, not {self.gen_type}"
+            )
+        if not supports_fast_inference(self.generator):
+            raise ValueError(
+                "int8 serving requires a non-causal HiFiGAN generator"
+            )
+        cs = [np.asarray(c, np.float32) for c in calib_mels]
+        bucket = max(len(c) for c in cs)
+        batch = np.stack(
+            [np.pad(c, ((0, bucket - len(c)), (0, 0)), mode="edge")
+             for c in cs]
+        ).astype(self.dtype)
+        self._int8_scales = calibrate(
+            self.generator, self.variables, jnp.asarray(batch)
+        )
+        self._jit_cache.clear()  # full-precision fns are stale now
 
     def inference(self, c: np.ndarray, normalize_before: bool = False,
                   rng: Optional[jax.Array] = None,
@@ -200,6 +255,15 @@ class InferenceModel:
         return self.synthesize_batch([c], normalize_before, rng,
                                      bucket_size=1)[0]
 
+    def _cached_jit(self, tag, shapes, make_fn):
+        """Per-shape jit cache (a fresh jax.jit(lambda ...) every call would
+        re-trace each utterance; compile_events tracks cold calls)."""
+        key = (tag, shapes)
+        if key not in self._jit_cache:
+            self.compile_events += 1
+            self._jit_cache[key] = jax.jit(make_fn())
+        return self._jit_cache[key]
+
     def _inference_special(self, c, rng, f0, excitation) -> np.ndarray:
         """Single-utterance path for token / f0 / excitation generators."""
         gen = self.generator
@@ -207,8 +271,8 @@ class InferenceModel:
         if c.ndim == 2:
             c = c[..., None]
         if self.gen_type == "DiscreteSymbolDurationGenerator":
-            y, ds_out = jax.jit(
-                lambda v, c: gen.apply(v, c, None, True)
+            y, ds_out = self._cached_jit(
+                "dur", c.shape, lambda: lambda v, c: gen.apply(v, c, None, True)
             )(self.variables, c)
             # predicted integer durations decide the true output length
             # (reference layers/duration_predictor.py inference: exp-offset)
@@ -220,9 +284,10 @@ class InferenceModel:
             return np.asarray(y, np.float32)[0, :n]
         if self.gen_type == "DiscreteSymbolF0Generator" and f0 is not None:
             f0 = np.asarray(f0, np.float32).reshape(1, -1, 1)
-            y = jax.jit(lambda v, c, f: gen.apply(v, c, f))(
-                self.variables, c, f0
-            )
+            y = self._cached_jit(
+                "f0", (c.shape, f0.shape),
+                lambda: lambda v, c, f: gen.apply(v, c, f),
+            )(self.variables, c, f0)
             return np.asarray(y, np.float32)[0]
         if self.gen_type == "UHiFiGANGenerator":
             assert excitation is not None, "UHiFiGAN requires excitation"
@@ -231,9 +296,11 @@ class InferenceModel:
                 if f0 is not None else None
             )
             exc = np.asarray(excitation, np.float32).reshape(1, -1, 1)
-            y = jax.jit(lambda v, c, f, e: gen.apply(v, c, f, e))(
-                self.variables, c.astype(np.float32), f0_in, exc
-            )
+            y = self._cached_jit(
+                "uhifigan",
+                (c.shape, None if f0_in is None else f0_in.shape, exc.shape),
+                lambda: lambda v, c, f, e: gen.apply(v, c, f, e),
+            )(self.variables, c.astype(np.float32), f0_in, exc)
             return np.asarray(y, np.float32)[0]
         if self.gen_type == "DiscreteSymbolStyleMelGANGenerator":
             if rng is None:
@@ -243,12 +310,15 @@ class InferenceModel:
             pad = frames * nf - c.shape[1]
             cp = np.pad(c, ((0, 0), (0, pad), (0, 0)), mode="edge")
             z = jax.random.normal(rng, (1, 1, gen.in_channels))
-            y = jax.jit(lambda v, c, z: gen.apply(v, c, z))(
-                self.variables, cp, z
-            )
+            y = self._cached_jit(
+                "style_tok", (cp.shape, z.shape),
+                lambda: lambda v, c, z: gen.apply(v, c, z),
+            )(self.variables, cp, z)
             n = c.shape[1] * self.upsample_factor
             return np.asarray(y, np.float32)[0, :n]
-        y = jax.jit(lambda v, c: gen.apply(v, c))(self.variables, c)
+        y = self._cached_jit(
+            "plain", c.shape, lambda: lambda v, c: gen.apply(v, c)
+        )(self.variables, c)
         return np.asarray(y, np.float32)[0]
 
     # -- VQVAE (wav2wav) path ------------------------------------------
@@ -256,11 +326,15 @@ class InferenceModel:
         """Audio (T,) -> codebook indices (T'',) (reference
         models/vqvae.py:113-125, bin/decode.py:366-385)."""
         x = np.asarray(audio, np.float32).reshape(1, -1, 1)
-        idx = jax.jit(
-            lambda v, x: self.generator.apply(
-                v, x, method=self.generator.encode
+        key = ("vq_encode", x.shape)
+        if key not in self._jit_cache:
+            self.compile_events += 1
+            self._jit_cache[key] = jax.jit(
+                lambda v, x: self.generator.apply(
+                    v, x, method=self.generator.encode
+                )
             )
-        )(self.variables, x)
+        idx = self._jit_cache[key](self.variables, x)
         return np.asarray(idx)[0]
 
     def vq_decode(self, indices: np.ndarray, l=None, g=None) -> np.ndarray:
@@ -268,11 +342,18 @@ class InferenceModel:
         idx = np.asarray(indices, np.int32)[None]
         l_in = None if l is None else np.asarray(l, np.float32)[None]
         g_in = None if g is None else np.asarray(g, np.int32).reshape(1)
-        y = jax.jit(
-            lambda v, i, l, g: self.generator.apply(
-                v, i, l, g, method=self.generator.decode
+        key = (
+            "vq_decode", idx.shape,
+            None if l_in is None else l_in.shape, g_in is not None,
+        )
+        if key not in self._jit_cache:
+            self.compile_events += 1
+            self._jit_cache[key] = jax.jit(
+                lambda v, i, l, g: self.generator.apply(
+                    v, i, l, g, method=self.generator.decode
+                )
             )
-        )(self.variables, idx, l_in, g_in)
+        y = self._jit_cache[key](self.variables, idx, l_in, g_in)
         y = np.asarray(y, np.float32)
         if self.pqmf is not None:
             import jax.numpy as _jnp

@@ -85,3 +85,66 @@ def test_int8_no_additional_convs():
     scales = calibrate(gen, variables, c)
     got8 = np.asarray(hifigan_fast_forward(gen, variables, c, scales=scales))
     assert np.isfinite(got8).all()
+
+
+def test_inference_model_int8_serving(small_gen):
+    """The product surface for int8: InferenceModel.quantize_int8 (the
+    engine behind `decode --int8`) must produce waveforms close to the
+    full-precision path and re-use the serving jit cache correctly."""
+    gen, variables, c = small_gen
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": {
+            "in_channels": 20, "channels": 64,
+            "upsample_scales": [4, 4], "upsample_kernel_sizes": [8, 8],
+            "resblock_kernel_sizes": [3, 7],
+            "resblock_dilations": [[1, 3], [1, 3]],
+            "use_weight_norm": True,
+        },
+        "sampling_rate": 16000,
+        "hop_size": 16,
+    }
+    model = InferenceModel(config, jax.device_get(variables))
+    mels = [np.asarray(c[0, :20]), np.asarray(c[1, :24])]
+    ref = model.synthesize_batch(mels)
+    model.quantize_int8(mels)
+    events_after_calib = model.compile_events
+    got = model.synthesize_batch(mels)
+    assert model.compile_events == events_after_calib + 1  # one new jit
+    got2 = model.synthesize_batch(mels)  # warm: no recompile
+    assert model.compile_events == events_after_calib + 1
+    for r, g, g2 in zip(ref, got, got2):
+        assert r.shape == g.shape
+        np.testing.assert_array_equal(g, g2)
+        err = np.abs(g - r)
+        snr = 10 * np.log10(
+            (r.astype(np.float64) ** 2).mean() + 1e-20
+        ) - 10 * np.log10((err.astype(np.float64) ** 2).mean() + 1e-20)
+        assert snr > 25, snr
+
+
+def test_inference_model_int8_rejects_unsupported():
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": {"in_channels": 10, "out_channels": 1,
+                             "channels": 16, "upsample_scales": [4, 4],
+                             "stacks": 1, "kernel_size": 3},
+        "sampling_rate": 16000,
+    }
+    from parallelwavegan_tpu.models import get_model_class
+
+    g = get_model_class("MelGANGenerator")(
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in config["generator_params"].items()}
+    )
+    import jax as _jax
+
+    v = g.init({"params": _jax.random.key(0)},
+               jnp.zeros((1, 8, 10), jnp.float32))
+    model = InferenceModel(config, _jax.device_get(v))
+    with pytest.raises(ValueError):
+        model.quantize_int8([np.zeros((8, 10), np.float32)])
