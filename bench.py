@@ -339,6 +339,11 @@ def train_bench():
         cfg = yaml.safe_load(f)
     if os.environ.get("BENCH_MP"):  # bf16 compute, f32 master params
         cfg["mixed_precision"] = True
+    if os.environ.get("BENCH_FUSE_RF"):  # "0"/"1": override the fused
+        # real|fake discriminator pass for A/B measurement
+        cfg["fuse_real_fake_discriminator"] = (
+            os.environ["BENCH_FUSE_RF"] == "1"
+        )
     rng = jax.random.key(0)
     state, g, d, og, od = init_train_state(cfg, rng)
     criterion = build_criterion(cfg)

@@ -17,6 +17,7 @@ MCD/log-F0 eval harness.
 
 import argparse
 import os
+import zlib
 
 import numpy as np
 import yaml
@@ -92,6 +93,16 @@ def main():
     parser.add_argument("--rich", action="store_true")
     parser.add_argument("--dur", type=float, default=None,
                         help="utterance duration (rich mode; default 3-4 s)")
+    parser.add_argument(
+        "--splits", type=str, default="train,dev,eval",
+        help="comma-separated subset of splits to generate",
+    )
+    parser.add_argument(
+        "--start-index", type=int, default=0,
+        help="first utterance index (extend an existing split in place "
+        "without touching already-generated utterances; wav.scp is "
+        "appended to when > 0)",
+    )
     args = parser.parse_args()
 
     with open(args.config) as f:
@@ -100,17 +111,23 @@ def main():
 
     n_eval = max(4, args.n_utts // 10)
     splits = {
-        "train": range(args.n_utts),
+        "train": range(args.start_index, args.n_utts),
         "dev": range(n_eval),
         "eval": range(n_eval),
+    }
+    splits = {
+        k: v for k, v in splits.items() if k in args.splits.split(",")
     }
     for split, idxs in splits.items():
         outdir = os.path.join(args.outdir, split)
         os.makedirs(outdir, exist_ok=True)
         scp = []
         for i in idxs:
+            # crc32, NOT hash(): Python string hashing is salted per
+            # process, which silently made "deterministic per utterance"
+            # false across invocations
             rng = np.random.default_rng(
-                hash((split, i)) % (2**31) if args.rich else 0
+                zlib.crc32(f"{split}_{i}".encode()) if args.rich else 0
             )
             if args.rich:
                 dur = args.dur or (3.0 + (i % 5) * 0.25)
@@ -128,7 +145,8 @@ def main():
             path = os.path.join(outdir, f"{split}_utt{i}.wav")
             write_wav(path, wave, sr)
             scp.append(f"{split}_utt{i} {os.path.abspath(path)}")
-        with open(os.path.join(outdir, "wav.scp"), "w") as fh:
+        mode = "a" if (args.start_index > 0 and split == "train") else "w"
+        with open(os.path.join(outdir, "wav.scp"), mode) as fh:
             fh.write("\n".join(scp) + "\n")
     print(f"Generated corpus under {args.outdir}")
 

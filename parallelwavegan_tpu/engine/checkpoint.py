@@ -69,3 +69,41 @@ def load_reference_checkpoint(
             config.get("discriminator_params", {}),
         )
     return out
+
+
+def save_generator_checkpoint(path: str, state_or_variables,
+                              dtype=None) -> None:
+    """Inference-only checkpoint: just the generator variables.
+
+    A full GANTrainState checkpoint carries the discriminator and both
+    optimizer states (~17x the generator bytes for HiFiGAN V1: 969 MB vs
+    56 MB) — serving and distribution only need the generator (the
+    reference ships exactly this in its pretrained zoo,
+    utils/utils.py:294-360). Self-describing msgpack, no template needed
+    to restore; `load_model` accepts the .gckpt path directly.
+    dtype=jnp.bfloat16 halves the artifact size (quality delta measured
+    in docs/VALIDATION.md).
+    """
+    if isinstance(state_or_variables, GANTrainState):
+        s = state_or_variables
+        variables = {"params": s.params_g, **s.extra_g}
+    else:
+        variables = state_or_variables
+    variables = jax.device_get(variables)
+    if dtype is not None:
+        variables = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            variables,
+        )
+    folder = os.path.dirname(path)
+    if folder:
+        os.makedirs(folder, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(variables))
+
+
+def load_generator_checkpoint(path: str) -> Dict[str, Any]:
+    """Restore generator variables from a .gckpt (see above)."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())

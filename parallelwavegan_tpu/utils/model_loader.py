@@ -68,14 +68,19 @@ class InferenceModel:
         from parallelwavegan_tpu.engine.build import _to_hashable
 
         self.generator = get_model_class(gen_type)(**_to_hashable(gen_params))
-        if dtype is not None:
-            variables = jax.tree.map(
-                lambda x: x.astype(dtype)
-                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
-                variables,
-            )
+        # cast float params to the compute dtype unconditionally: a .gckpt
+        # may be stored in bf16 (storage compression) while computing in
+        # f32, and mixed param/input dtypes fail inside lax convs
+        compute_dtype = dtype or jnp.float32
+        variables = jax.tree.map(
+            # jnp.issubdtype, not np: ml_dtypes bfloat16 (bf16-stored
+            # .gckpt) is not an np.floating subclass
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(np.asarray(x).dtype, jnp.floating) else x,
+            variables,
+        )
         self.variables = variables
-        self.dtype = dtype or jnp.float32
+        self.dtype = compute_dtype
         self.mean: Optional[np.ndarray] = None
         self.scale: Optional[np.ndarray] = None
         out_ch = gen_params.get("out_channels", 1)
@@ -488,6 +493,14 @@ def load_model(
         )
 
         variables = load_reference_checkpoint(checkpoint, config)["generator"]
+    elif checkpoint.endswith(".gckpt"):
+        # generator-only inference checkpoint (no discriminator/optimizer
+        # state; engine.checkpoint.save_generator_checkpoint)
+        from parallelwavegan_tpu.engine.checkpoint import (
+            load_generator_checkpoint,
+        )
+
+        variables = load_generator_checkpoint(checkpoint)
     else:
         from parallelwavegan_tpu.engine.build import init_train_state
         from parallelwavegan_tpu.engine.checkpoint import load_checkpoint

@@ -270,3 +270,53 @@ def test_convert_checkpoint_to_reference_direction(tmp_path, monkeypatch):
     y_ckpt = load_model(ckpt, config).inference(mel)
     y_pkl = load_model(pkl, config).inference(mel)
     np.testing.assert_allclose(y_ckpt, y_pkl, rtol=1e-5, atol=1e-6)
+
+
+def test_generator_only_checkpoint_roundtrip(tmp_path):
+    """save_generator_checkpoint -> load_model(.gckpt): synthesis must
+    match the full-checkpoint path; bf16 storage halves the artifact."""
+    import yaml
+
+    from parallelwavegan_tpu.engine.checkpoint import (
+        save_generator_checkpoint,
+    )
+    from parallelwavegan_tpu.models import MelGANGenerator
+    from parallelwavegan_tpu.utils.model_loader import (
+        InferenceModel,
+        load_model,
+    )
+
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": {
+            "in_channels": 20, "channels": 32, "upsample_scales": [4, 4],
+            "stacks": 1, "use_weight_norm": True,
+        },
+        "num_mels": 20,
+        "sampling_rate": 16000,
+    }
+    gen = MelGANGenerator(**{**config["generator_params"],
+                             "upsample_scales": (4, 4)})
+    mel = np.random.default_rng(0).standard_normal((30, 20)).astype(
+        np.float32
+    )
+    variables = jax.device_get(
+        gen.init({"params": jax.random.key(0)}, jnp.asarray(mel[None]))
+    )
+    ref_model = InferenceModel(config, variables)
+    ref = ref_model.inference(mel)
+
+    path = str(tmp_path / "gen.gckpt")
+    save_generator_checkpoint(path, variables)
+    with open(str(tmp_path / "config.yml"), "w") as f:
+        yaml.safe_dump(config, f)
+    model = load_model(path)
+    got = model.inference(mel)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    # bf16 storage: half the bytes, waveform still close
+    path16 = str(tmp_path / "gen16.gckpt")
+    save_generator_checkpoint(path16, variables, dtype=jnp.bfloat16)
+    assert os.path.getsize(path16) < 0.6 * os.path.getsize(path)
+    got16 = load_model(path16).inference(mel)
+    assert np.mean((got16 - ref) ** 2) < 1e-4 * max(np.mean(ref**2), 1e-12)
