@@ -1,0 +1,116 @@
+"""Full-circle interop with ACTUALLY-TRAINED weights.
+
+The reference's distribution story is its pretrained checkpoint zoo
+consumed via `parallel_wavegan.utils.load_model`
+(/root/reference/parallel_wavegan/utils/utils.py:294-360). With no egress
+to download the zoo, the offline full-circle proof is: export a checkpoint
+we trained on TPU (rich_v1, egs/synthetic) to a reference torch .pkl, load
+it with the REFERENCE'S OWN load_model under torch, copy-synthesize the
+same eval mel with both stacks, and compare waveforms.
+
+Skipped when the trained experiment or the reference repo is absent (CI
+without the 969 MB artifacts); measured deviations are recorded in
+docs/PARITY.md ("trained-checkpoint interop").
+"""
+
+import glob
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXP = os.path.join(REPO, "egs/synthetic/voc1/exp/rich_v1")
+REFERENCE = "/root/reference"
+
+
+def _latest_ckpt():
+    cs = sorted(
+        glob.glob(os.path.join(EXP, "checkpoint-*steps.ckpt")),
+        key=lambda p: int(
+            os.path.basename(p)[len("checkpoint-"):-len("steps.ckpt")]
+        ),
+    )
+    return cs[-1] if cs else None
+
+
+requires_artifacts = pytest.mark.skipif(
+    _latest_ckpt() is None
+    or not os.path.isdir(os.path.join(REFERENCE, "parallel_wavegan")),
+    reason="trained rich_v1 checkpoint or reference repo not present",
+)
+
+
+@requires_artifacts
+def test_trained_checkpoint_roundtrip_through_reference_load_model(tmp_path):
+    torch = pytest.importorskip("torch")
+
+    import jax
+
+    from parallelwavegan_tpu.engine.build import init_train_state
+    from parallelwavegan_tpu.engine.checkpoint import load_checkpoint
+    from parallelwavegan_tpu.utils.io import load_config, read_hdf5, save_config
+    from parallelwavegan_tpu.utils.model_loader import load_model
+    from parallelwavegan_tpu.utils.torch_export import (
+        save_reference_checkpoint,
+    )
+
+    ckpt = _latest_ckpt()
+    config = load_config(os.path.join(EXP, "config.yml"))
+
+    # --- export to a reference .pkl (the convert_checkpoint --to-reference
+    # path, invoked as library calls)
+    template = jax.eval_shape(
+        lambda: init_train_state(config, jax.random.key(0))[0]
+    )
+    state = load_checkpoint(ckpt, template)
+    pkl = str(tmp_path / "checkpoint-export.pkl")
+    save_reference_checkpoint(pkl, state.params_g, config,
+                              steps=int(state.steps))
+    save_config(str(tmp_path / "config.yml"), config)
+
+    # --- a real eval mel from the corpus the model was trained on
+    mel_files = sorted(
+        glob.glob(os.path.join(REPO, "egs/synthetic/voc1/dump/eval/norm/*.h5"))
+    )
+    assert mel_files, "eval dump missing"
+    c = read_hdf5(mel_files[0], "feats")[:200]  # bound CPU decode time
+
+    # --- decode with the REFERENCE stack
+    # the reference targets older scipy (`from scipy.signal import kaiser`,
+    # removed in scipy>=1.13); restore the alias for the import only
+    import scipy.signal
+    import scipy.signal.windows
+
+    if not hasattr(scipy.signal, "kaiser"):
+        scipy.signal.kaiser = scipy.signal.windows.kaiser
+    sys.path.insert(0, REFERENCE)
+    try:
+        from parallel_wavegan.utils import load_model as ref_load_model
+
+        ref_model = ref_load_model(pkl)
+        ref_model.remove_weight_norm()
+        ref_model.eval()
+        with torch.no_grad():
+            y_ref = (
+                ref_model.inference(torch.from_numpy(np.ascontiguousarray(c)))
+                .cpu()
+                .numpy()
+            )
+    finally:
+        sys.path.remove(REFERENCE)
+
+    # --- decode with OUR stack from the original .ckpt
+    ours = load_model(ckpt, config)
+    y_ours = ours.inference(c)
+
+    assert y_ours.shape == y_ref.shape
+    err = np.abs(y_ours - y_ref)
+    denom = np.sqrt(np.mean(y_ref**2)) + 1e-12
+    rel_rmse = np.sqrt(np.mean(err**2)) / denom
+    # trained full-size weights through two independent conv stacks
+    # (torch NCW vs XLA NWC): demand waveform-level agreement far below
+    # audibility; exact numbers recorded in docs/PARITY.md
+    assert err.max() < 5e-3, (err.max(), rel_rmse)
+    assert rel_rmse < 1e-3, rel_rmse
