@@ -201,18 +201,24 @@ def build_steps(
     # concat([real, fake]) instead of two — every module in the
     # PWG/MelGAN/HiFiGAN discriminators is batch-pointwise (convs,
     # weight/spectral norm; no batch stats), so the split outputs are
-    # IDENTICAL to two passes (tested in test_trainer.py) while halving
-    # the op count of the dispatch-bound D path (~70 small convs in
-    # MSMPD). Exceptions that keep the two-pass reference behavior:
+    # IDENTICAL to two passes (tested in test_trainer.py). Defaults are
+    # set by A/B measurement on the v5e chip (BENCH_FUSE_RF, see
+    # docs/BENCHMARKS.md "training throughput"):
+    #   - MSMPD (HiFiGAN): fusion measured SLOWER (9.77 vs 10.31 steps/s
+    #     mixed-precision) — the doubled-batch period reshapes cost more
+    #     than the halved op count saves -> default OFF;
+    #   - PWG: fused measured 14.97 steps/s -> default ON;
     #   - StyleMelGAN D draws random windows per forward (reference
     #     style_melgan.py:324-337 gives real and fake independent
-    #     windows), so fusing would change training semantics;
-    #   - the spectral-norm power iteration advances once instead of
-    #     twice per step (it depends only on the weights; the trajectory
-    #     difference is below train-noise — see docs/BENCHMARKS.md).
+    #     windows), so fusing would change training semantics -> OFF.
+    # Note the spectral-norm power iteration advances once instead of
+    # twice per step under fusion (it depends only on the weights; the
+    # trajectory difference is below train-noise).
     fuse_rf = bool(
         config.get(
-            "fuse_real_fake_discriminator", "StyleMelGAN" not in dis_type
+            "fuse_real_fake_discriminator",
+            "StyleMelGAN" not in dis_type
+            and "HiFiGANMultiScaleMultiPeriod" not in dis_type,
         )
     )
 
