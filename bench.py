@@ -72,6 +72,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "")
     if mode == "train":
         return train_bench()
+    if mode == "quality":
+        return quality_bench()
     if mode in ("melgan", "mb_melgan", "hifigan", "style_melgan"):
         return family_bench(mode)
     if mode in ("", "default"):
@@ -313,6 +315,92 @@ def family_bench(mode: str):
         ),
     }
     print(json.dumps(result))
+
+
+def quality_bench():
+    """Copy-synthesis quality of the committed trained model: decode the
+    committed eval mels with the committed generator checkpoint and print
+    the mean MCD (+ log-F0 RMSE / V/UV as extra lines; the MCD line is
+    last = headline of this mode).
+
+    BASELINE.json names "copy-synthesis MCD" as half the north-star
+    metric; this makes it a machine-readable artifact. Inputs resolve
+    from assets/quality/ (committed: generator .gckpt + config.yml +
+    eval mel dumps + ground-truth wavs) or, if absent, from the live
+    egs/synthetic rich_v1 experiment. The reference's equivalent tooling:
+    bin/evaluate_mcd.py:155-189 over a decode of stage 3.
+    """
+    import glob
+
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.ops.eval_metrics import (
+        log_f0_rmse,
+        mel_cepstral_distortion,
+    )
+    from parallelwavegan_tpu.utils.io import load_config, read_hdf5, read_wav
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    assets = os.path.join(here, "assets", "quality")
+    if os.path.isdir(assets):
+        cfg = load_config(os.path.join(assets, "config.yml"))
+        from parallelwavegan_tpu.engine.checkpoint import (
+            load_generator_checkpoint,
+        )
+
+        variables = load_generator_checkpoint(
+            os.path.join(assets, "generator.gckpt")
+        )
+        model = InferenceModel(cfg, variables)
+        mel_files = sorted(glob.glob(os.path.join(assets, "*-feats.npy")))
+        mels = [np.load(f) for f in mel_files]
+        gts = [
+            read_wav(f.replace("-feats.npy", "-gt.wav"))[0]
+            for f in mel_files
+        ]
+    else:  # live experiment fallback
+        from parallelwavegan_tpu.utils.model_loader import load_model
+
+        exp = os.path.join(here, "egs/synthetic/voc1/exp/rich_v1")
+        cs = sorted(
+            glob.glob(os.path.join(exp, "checkpoint-*steps.ckpt")),
+            key=lambda p: int(
+                os.path.basename(p)[len("checkpoint-"):-len("steps.ckpt")]
+            ),
+        )
+        model = load_model(cs[-1])
+        cfg = model.config
+        dump = os.path.join(here, "egs/synthetic/voc1/dump/eval")
+        mel_files = sorted(glob.glob(os.path.join(dump, "norm/*.h5")))
+        mels = [read_hdf5(f, "feats") for f in mel_files]
+        gts = [
+            read_hdf5(os.path.join(dump, "raw", os.path.basename(f)), "wave")
+            for f in mel_files
+        ]
+    sr = cfg["sampling_rate"]
+    waves = model.synthesize_batch(mels)
+    mcds, rmses, vuvs = [], [], []
+    for y, gt in zip(waves, gts):
+        mcds.append(mel_cepstral_distortion(y[:, 0], gt, sr))
+        r, v = log_f0_rmse(y[:, 0], gt, sr)
+        rmses.append(r)
+        vuvs.append(v)
+    for name, vals, unit in (
+        ("copy_synthesis_log_f0_rmse", rmses, "log-Hz"),
+        ("copy_synthesis_vuv_error", vuvs, "rate"),
+        ("copy_synthesis_mcd", mcds, "dB"),
+    ):
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(float(np.nanmean(vals)), 3),
+                    "unit": unit,
+                    "vs_baseline": None,
+                }
+            )
+        )
 
 
 def train_bench():
