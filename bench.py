@@ -379,6 +379,8 @@ def quality_bench():
             for f in mel_files
         ]
     sr = cfg["sampling_rate"]
+    if os.environ.get("BENCH_INT8"):  # int8 serving-mode quality delta
+        model.quantize_int8(mels)
     waves = model.synthesize_batch(mels)
     mcds, rmses, vuvs = [], [], []
     for y, gt in zip(waves, gts):
@@ -386,6 +388,7 @@ def quality_bench():
         r, v = log_f0_rmse(y[:, 0], gt, sr)
         rmses.append(r)
         vuvs.append(v)
+    suffix = "_int8" if os.environ.get("BENCH_INT8") else ""
     for name, vals, unit in (
         ("copy_synthesis_log_f0_rmse", rmses, "log-Hz"),
         ("copy_synthesis_vuv_error", vuvs, "rate"),
@@ -394,7 +397,7 @@ def quality_bench():
         print(
             json.dumps(
                 {
-                    "metric": name,
+                    "metric": name + suffix,
                     "value": round(float(np.nanmean(vals)), 3),
                     "unit": unit,
                     "vs_baseline": None,

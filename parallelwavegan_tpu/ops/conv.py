@@ -59,8 +59,14 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
     precision=None,
+    preferred_element_type=None,
 ) -> jnp.ndarray:
-    """x (B, T, Cin) * kernel (K, Cin/groups, Cout) -> (B, T', Cout)."""
+    """x (B, T, Cin) * kernel (K, Cin/groups, Cout) -> (B, T', Cout).
+
+    int8 inputs REQUIRE preferred_element_type=jnp.int32: without it the
+    conv accumulates (wraps!) in int8 — XLA's output dtype follows the
+    input dtype, and mod-256 sums are garbage for any real contraction.
+    """
     y = lax.conv_general_dilated(
         x,
         kernel,
@@ -70,6 +76,7 @@ def conv1d(
         dimension_numbers=_DN,
         feature_group_count=groups,
         precision=precision,
+        preferred_element_type=preferred_element_type,
     )
     if bias is not None:
         y = y + bias
@@ -86,12 +93,14 @@ def conv_transpose1d(
     dilation: int = 1,
     groups: int = 1,
     precision=None,
+    preferred_element_type=None,
 ) -> jnp.ndarray:
     """Torch-semantics transposed conv as an lhs-dilated forward conv.
 
     x (B, T, Cin); kernel (K, Cin/groups, Cout) in *forward-conv* orientation
     (the module layer stores it this way; a torch checkpoint's (Cin, Cout/g, K)
     weight maps via transpose + spatial flip in the importer).
+    int8 inputs require preferred_element_type=jnp.int32 (see conv1d).
     """
     k = kernel.shape[0]
     eff_k = dilation * (k - 1) + 1
@@ -107,6 +116,7 @@ def conv_transpose1d(
         dimension_numbers=_DN,
         feature_group_count=groups,
         precision=precision,
+        preferred_element_type=preferred_element_type,
     )
     if bias is not None:
         y = y + bias

@@ -17,17 +17,26 @@ to window-relayout VPU traffic. Halving the activation byte stream is the
 one remaining lever; int8 weights ride along (weight bytes are negligible,
 but the int8×int8 MXU path is also ~25% faster where compute-bound).
 
-Scheme: static per-tensor activation scales (one calibration pass records
-max|x| of every quantized conv input), per-output-channel weight scales.
-Conv epilogues (rescale, bias, leaky, residual add) stay in f32/bf16 and the
-requantize folds into the producing op, so every MRF activation crosses HBM
-exactly once as int8. Deconvs, the input/output convs, and tanh stay bf16
-(cheap, and the output conv's dynamic range matters for the waveform).
+Scheme: static per-INPUT-CHANNEL activation scales, folded exactly into
+the weights. One calibration pass records per-channel max|x| of every
+quantized conv input; at quantization time x is scaled per channel
+(x_q[c] = x[c]/sx[c]) and the weight absorbs sx BEFORE its own
+per-output-channel quantization (w'[k,c,o] = w[k,c,o]*sx[c]), so
+conv(x_q, w'_q)*sw_o is algebraically the original conv — per-channel
+scales cost nothing extra at runtime. Per-channel matters: per-TENSOR
+activation scales are catastrophically lossy on TRAINED HiFiGAN weights
+(measured copy-synthesis MCD 36 dB vs 6.1 full-precision on the rich_v1
+checkpoint — trained MRF channels span orders of magnitude; random-init
+tests never caught it). Conv epilogues (rescale, bias, leaky, residual
+add) stay in f32/bf16 and the requantize folds into the producing op, so
+every MRF activation crosses HBM exactly once as int8. Deconvs, the
+input/output convs, and tanh stay bf16 (cheap, and the output conv's
+dynamic range matters for the waveform).
 
 Exactness: with quant=None this forward is bit-identical (up to dtype) to
 ``HiFiGANGenerator.__call__`` — asserted in tests/test_pallas_kernels.py.
 The int8 path's copy-synthesis quality delta is measured in
-docs/VALIDATION.md.
+docs/VALIDATION.md ("int8 serving mode").
 """
 
 from __future__ import annotations
@@ -107,16 +116,24 @@ def hifigan_fast_forward(
         """MRF conv: int8 when scales are given, else plain; x is the
         pre-activation input in compute dtype."""
         if collect_stats:
-            stats[key] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            # per-input-channel max|x| (see module docstring: per-tensor
+            # scales are lossy on trained weights)
+            stats[key] = jnp.max(jnp.abs(x), axis=(0, 1)).astype(jnp.float32)
         if scales is None:
             return conv1d(x, w.astype(x.dtype), b, padding=(k - 1) // 2 * d,
                           dilation=d)
+        # sx: (Cin,) per-channel (scalar also broadcasts for back-compat)
         sx = jnp.asarray(scales[key], jnp.float32)
-        wq, sw = _quant_w(w)
+        # fold the activation scale into the weight, then quantize the
+        # folded weight per output channel: conv(x/sx, w*sx) == conv(x, w)
+        w_folded = w.astype(jnp.float32) * sx.reshape(1, -1, 1)
+        wq, sw = _quant_w(w_folded)
         xq = _quant_x(x, sx.astype(x.dtype))
+        # int32 accumulation is NOT optional: int8-in/int8-out conv wraps
+        # mod 256 (caught on trained weights; ops/conv.py docstring)
         y = conv1d(xq, wq, None, padding=(k - 1) // 2 * d, dilation=d,
-                   precision=None)
-        y = y.astype(jnp.float32) * (sx * sw)
+                   precision=None, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sw
         if b is not None:
             y = y + b
         return y.astype(x.dtype)
@@ -163,10 +180,10 @@ def hifigan_fast_forward(
 
 
 def make_scales(stats: Dict[str, jnp.ndarray], margin: float = 1.05
-                ) -> Dict[str, float]:
-    """Calibration stats (max|x| per tensor) -> static per-tensor scales."""
+                ) -> Dict[str, np.ndarray]:
+    """Calibration stats (per-channel max|x|) -> static scale vectors."""
     return {
-        k: float(np.maximum(np.asarray(v) * margin, 1e-8)) / 127.0
+        k: (np.maximum(np.asarray(v, np.float32) * margin, 1e-8) / 127.0)
         for k, v in stats.items()
     }
 

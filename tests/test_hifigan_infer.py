@@ -55,7 +55,8 @@ def test_int8_path_close_to_f32(small_gen):
     gen, variables, c = small_gen
     scales = calibrate(gen, variables, c)
     assert len(scales) == 2 * 2 * 2 * 2  # stages x branches x dils x convs
-    assert all(s > 0 for s in scales.values())
+    # per-input-channel scale vectors, all strictly positive
+    assert all(np.all(np.asarray(s) > 0) for s in scales.values())
     ref = np.asarray(gen.apply(variables, c))
     got = np.asarray(hifigan_fast_forward(gen, variables, c, scales=scales))
     err = np.abs(got - ref)
@@ -148,3 +149,42 @@ def test_inference_model_int8_rejects_unsupported():
     model = InferenceModel(config, _jax.device_get(v))
     with pytest.raises(ValueError):
         model.quantize_int8([np.zeros((8, 10), np.float32)])
+
+
+def test_int8_conv_core_accumulates_in_int32():
+    """Regression for the int8 accumulator wrap: an int8xint8 conv WITHOUT
+    preferred_element_type=int32 wraps mod 256 (XLA output dtype follows
+    input dtype). The quantized conv core must track the f32 conv at the
+    CONV level — the end-to-end SNR test alone missed this because
+    random-init MRF branches barely contribute to the output."""
+    from parallelwavegan_tpu.ops.conv import conv1d
+
+    rng = np.random.default_rng(0)
+    # trained-like stats: per-channel spreads over orders of magnitude
+    chan_scale = np.exp(rng.uniform(-3, 1, 64))
+    x = jnp.asarray(
+        rng.standard_normal((2, 128, 64)) * chan_scale, jnp.float32
+    )
+    w = jnp.asarray(rng.standard_normal((3, 64, 64)) * 0.2, jnp.float32)
+    ref = np.asarray(conv1d(x, w, None, padding=1))
+
+    sx = jnp.asarray(
+        np.maximum(np.abs(np.asarray(x)).max(axis=(0, 1)), 1e-8) / 127.0,
+        jnp.float32,
+    )
+    from parallelwavegan_tpu.ops.hifigan_infer import _quant_w, _quant_x
+
+    wq, sw = _quant_w(w * sx.reshape(1, -1, 1))
+    xq = _quant_x(x, sx)
+    y = conv1d(xq, wq, None, padding=1,
+               preferred_element_type=jnp.int32)
+    got = np.asarray(y, np.float32) * np.asarray(sw)
+    err = got - ref
+    snr = 10 * np.log10(
+        (ref.astype(np.float64) ** 2).mean() / max((err**2).mean(), 1e-20)
+    )
+    assert snr > 35, snr
+    # and the wrap really happens without the accumulator type (guards
+    # against silently relying on a backend that upcasts anyway)
+    wrapped = np.asarray(conv1d(xq, wq, None, padding=1), np.float32)
+    assert np.abs(wrapped).max() <= 128  # int8 range: mod-256 wrap
