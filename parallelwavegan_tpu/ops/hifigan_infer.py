@@ -138,7 +138,27 @@ def hifigan_fast_forward(
             y = y + b
         return y.astype(x.dtype)
 
-    # input conv (bf16)
+    def qdeconv(x, key, w, b, s_up):
+        """Upsample deconv: int8 (same per-channel weight fold as qconv —
+        the transposed conv also contracts over Cin) when scales carry the
+        key; bf16 otherwise. ~3-4%% of the byte stream per stage."""
+        if collect_stats:
+            stats[key] = jnp.max(jnp.abs(x), axis=(0, 1)).astype(jnp.float32)
+        kw = dict(stride=s_up, padding=s_up // 2 + s_up % 2,
+                  output_padding=s_up % 2)
+        if scales is None or key not in scales:
+            return conv_transpose1d(x, w.astype(x.dtype), b, **kw)
+        sx = jnp.asarray(scales[key], jnp.float32)
+        wq, sw = _quant_w(w.astype(jnp.float32) * sx.reshape(1, -1, 1))
+        xq = _quant_x(x, sx.astype(x.dtype))
+        y = conv_transpose1d(xq, wq, None, precision=None,
+                             preferred_element_type=jnp.int32, **kw)
+        y = y.astype(jnp.float32) * sw
+        if b is not None:
+            y = y + b
+        return y.astype(x.dtype)
+
+    # input conv (bf16; mel-rate bytes are negligible)
     w, b = _fold(p["input_conv"])
     x = conv1d(c, w.astype(dtype), b, padding=(gen.kernel_size - 1) // 2)
 
@@ -148,10 +168,7 @@ def hifigan_fast_forward(
     ):
         x = _leaky(x, slope)
         w, b = _fold(p[f"upsamples_{i}"])
-        x = conv_transpose1d(
-            x, w.astype(dtype), b, stride=s_up,
-            padding=s_up // 2 + s_up % 2, output_padding=s_up % 2,
-        )
+        x = qdeconv(x, f"s{i}_up", w, b, s_up)
         acc = 0.0
         for j, (k_res, dils) in enumerate(
             zip(gen.resblock_kernel_sizes, gen.resblock_dilations)

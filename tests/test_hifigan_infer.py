@@ -54,7 +54,8 @@ def test_int8_path_close_to_f32(small_gen):
     calibration distribution (random init, tanh-bounded outputs)."""
     gen, variables, c = small_gen
     scales = calibrate(gen, variables, c)
-    assert len(scales) == 2 * 2 * 2 * 2  # stages x branches x dils x convs
+    # stages x branches x dils x convs (16) + one deconv per stage (2)
+    assert len(scales) == 2 * 2 * 2 * 2 + 2
     # per-input-channel scale vectors, all strictly positive
     assert all(np.all(np.asarray(s) > 0) for s in scales.values())
     ref = np.asarray(gen.apply(variables, c))
