@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Stages 3-4 over EVERY checkpoint of an experiment: decode the eval set
+# and run the objective metrics per checkpoint, then write a trajectory
+# summary (exp/<tag>/trajectory.json). This is the quality-at-scale loop
+# the reference leaves manual (run.sh stage 3 only decodes the latest
+# checkpoint; evaluate_mcd is run by hand per README).
+#
+#   usage: local/eval_trajectory.sh [expdir] [eval_dumpdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+exp=${1:-exp/rich_v1}
+dump=${2:-dump/eval}
+
+# ground-truth wavs from the dumped (trimmed/gain-scaled) audio
+mkdir -p "${exp}/gt_wav"
+python - "$dump/raw" "${exp}/gt_wav" "${exp}/config.yml" <<'EOF'
+import sys, glob, os, yaml
+from parallelwavegan_tpu.utils.io import read_hdf5, write_wav
+raw, out, conf = sys.argv[1:4]
+fs = yaml.safe_load(open(conf))["sampling_rate"]
+for f in glob.glob(os.path.join(raw, "*.h5")):
+    u = os.path.splitext(os.path.basename(f))[0]
+    write_wav(os.path.join(out, u + ".wav"), read_hdf5(f, "wave"), fs)
+EOF
+
+for ckpt in $(ls "${exp}"/checkpoint-*steps.ckpt | sort -t- -k2 -n); do
+    steps=$(basename "${ckpt}" | sed -e 's/checkpoint-//' -e 's/steps.ckpt//')
+    outdir="${exp}/wav_${steps}"
+    if [ ! -f "${outdir}/utt2mcd" ]; then
+        echo "=== ${steps} steps: decode + eval ==="
+        python -m parallelwavegan_tpu.bin.decode \
+            --dumpdir "${dump}/norm" --outdir "${outdir}" \
+            --checkpoint "${ckpt}"
+        python -m parallelwavegan_tpu.bin.evaluate_mcd \
+            --outdir "${outdir}" --gt-wavdir "${exp}/gt_wav"
+        python -m parallelwavegan_tpu.bin.evaluate_f0 \
+            --outdir "${outdir}" --gt-wavdir "${exp}/gt_wav"
+    fi
+done
+
+python - "${exp}" <<'EOF'
+import glob, json, os, re, sys
+import numpy as np
+exp = sys.argv[1]
+rows = []
+for d in sorted(glob.glob(os.path.join(exp, "wav_*")),
+                key=lambda p: int(re.search(r"wav_(\d+)", p).group(1))):
+    steps = int(re.search(r"wav_(\d+)", d).group(1))
+    def col(fname, idx=1):
+        path = os.path.join(d, fname)
+        if not os.path.exists(path):
+            return None
+        vals = [float(line.split()[idx]) for line in open(path)
+                if len(line.split()) > idx]
+        return round(float(np.nanmean(vals)), 4)
+    # utt2logf0rmse lines: <utt> <rmse> <vuv_error> <semitone_acc>
+    rows.append({"steps": steps, "mcd": col("utt2mcd"),
+                 "mcd_std": None, "log_f0_rmse": col("utt2logf0rmse", 1),
+                 "vuv_error": col("utt2logf0rmse", 2),
+                 "semitone_acc": col("utt2logf0rmse", 3)})
+    mc = [float(l.split()[1]) for l in open(os.path.join(d, "utt2mcd"))]
+    rows[-1]["mcd_std"] = round(float(np.std(mc)), 4)
+out = os.path.join(exp, "trajectory.json")
+json.dump(rows, open(out, "w"), indent=1)
+print(json.dumps(rows))
+print("wrote", out)
+EOF
