@@ -8,6 +8,7 @@
 #   usage: local/eval_trajectory.sh [expdir] [eval_dumpdir]
 set -euo pipefail
 cd "$(dirname "$0")/.."
+source ../../common/path.sh
 exp=${1:-exp/rich_v1}
 dump=${2:-dump/eval}
 
