@@ -216,10 +216,17 @@ def hifigan_v1_bench():
     run(None, "hifigan_v1_synthesis_audio_seconds_per_sec_per_chip")
     if os.environ.get("BENCH_INT8", "1") != "0":
         # int8 serving (the decode --int8 product mode) is the HEADLINE:
-        # measured 3337 vs 2667 audio-s/s bf16 (+25%) with a +0.014 dB
+        # measured 3337 audio-s/s vs 2667 bf16 (+25%) with a +0.014 dB
         # copy-synthesis MCD delta on the shipped trained checkpoint
         # (docs/VALIDATION.md "int8 serving mode"). BENCH_INT8=0 skips it.
+        # BENCH_INT8_DECONV=0 restricts quantization to the MRF convs —
+        # measured 3283, i.e. quantized deconvs win in the full graph
+        # (+1.6%) even though an ISOLATED int8 conv_transpose measures
+        # slower than bf16; both full-model points are the honest basis.
         scales = calibrate(gen, variables, cs[0])
+        if os.environ.get("BENCH_INT8_DECONV", "1") == "0":
+            scales = {k: v for k, v in scales.items()
+                      if not k.endswith("_up")}
         run(
             scales,
             "hifigan_v1_int8_synthesis_audio_seconds_per_sec_per_chip",
