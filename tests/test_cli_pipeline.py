@@ -228,3 +228,69 @@ def test_train_arg_validation(corpus, monkeypatch):
              "--outdir", str(root / "x"), "--config", str(config_path)],
             monkeypatch,
         )
+
+
+def test_decode_int8_cli(monkeypatch, tmp_path):
+    """decode --int8: calibration + int8 synthesis through the CLI on a
+    .gckpt HiFiGAN checkpoint; outputs must exist, have the right length,
+    and stay close to the full-precision decode of the same mels."""
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.bin import decode
+    from parallelwavegan_tpu.engine.checkpoint import (
+        save_generator_checkpoint,
+    )
+    from parallelwavegan_tpu.models import HiFiGANGenerator
+    from parallelwavegan_tpu.utils.io import write_hdf5
+
+    config = {
+        "sampling_rate": 8000,
+        "hop_size": 16,
+        "format": "hdf5",
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": {
+            "in_channels": 10, "channels": 32,
+            "upsample_scales": [4, 4], "upsample_kernel_sizes": [8, 8],
+            "resblock_kernel_sizes": [3], "resblock_dilations": [[1, 3]],
+            "use_weight_norm": True,
+        },
+    }
+    gen = HiFiGANGenerator(
+        **{k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
+               if isinstance(v, list) else v)
+           for k, v in config["generator_params"].items()}
+    )
+    variables = gen.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 8, 10), jnp.float32)
+    )
+    ckpt = str(tmp_path / "gen.gckpt")
+    save_generator_checkpoint(ckpt, jax.device_get(variables))
+    yaml.safe_dump(config, open(tmp_path / "config.yml", "w"))
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        write_hdf5(
+            str(dump / f"u{i}.h5"), "feats",
+            rng.standard_normal((20 + 4 * i, 10)).astype(np.float32),
+        )
+
+    out_f32 = str(tmp_path / "out_f32")
+    out_int8 = str(tmp_path / "out_int8")
+    for argv_extra, outdir in (([], out_f32), (["--int8"], out_int8)):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["prog", "--dumpdir", str(dump), "--outdir", outdir,
+             "--checkpoint", ckpt] + argv_extra,
+        )
+        decode.main()
+    for i in range(3):
+        w8, _ = read_wav(os.path.join(out_int8, f"u{i}_gen.wav"))
+        wf, _ = read_wav(os.path.join(out_f32, f"u{i}_gen.wav"))
+        assert len(w8) == (20 + 4 * i) * 16
+        # int16 wav quantization floor is 3e-5; int8 synthesis stays close
+        assert np.sqrt(np.mean((w8 - wf) ** 2)) < 0.05 * max(
+            np.sqrt(np.mean(wf**2)), 1e-6
+        )
