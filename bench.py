@@ -19,8 +19,10 @@ training steps/s for the PWG V1 config (G update + D update, batch 6 x
 25600 samples); baseline = the reference's published 400k steps in ~3 days
 on a TITAN V (egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml:4) = 1.54
 steps/s. `BENCH_MODE=<family>` benches the other families;
-`BENCH_INT8=1` adds the int8-activation HiFiGAN serving mode (quality
-delta documented in docs/VALIDATION.md).
+`BENCH_MODE=quality` reports copy-synthesis MCD of the shipped trained
+checkpoint (add BENCH_INT8=1 for the int8 mode's quality). The int8
+throughput line is on by default (BENCH_INT8=0 disables it;
+BENCH_INT8_DECONV=0 restricts quantization to the MRF convs).
 
 Timing note: each timed iteration ends in a device->host scalar readback —
 block_until_ready alone under-reports on this platform's tunneled TPU.
