@@ -79,10 +79,21 @@ def main():
         return train_bench()
     if mode == "quality":
         return quality_bench()
+    if mode == "latency":
+        return latency_bench()
     if mode in ("melgan", "mb_melgan", "hifigan", "style_melgan"):
         return family_bench(mode)
     if mode in ("", "default"):
         pwg_bench()
+        # both halves of BASELINE.json's north-star metric in one artifact:
+        # copy-synthesis MCD of the shipped trained checkpoint (quality),
+        # then serving throughput; the trained-weights int8 line stays LAST
+        # (headline) so the artifact's tail is the product serving mode on
+        # real weights
+        try:
+            quality_bench()
+        except Exception as e:  # quality assets absent: keep throughput
+            print(f"# quality_bench skipped: {e}")
         return hifigan_v1_bench()  # LAST line = headline
     if mode == "pwg":
         return pwg_bench()
@@ -191,17 +202,19 @@ def hifigan_v1_bench():
     # published decode throughput (MB-MelGAN RTF 0.001 TITAN V)
     baseline = 1000.0
 
-    def run(scales, name):
+    def run(scales, name, g=None, v=None):
+        g = g or gen
+        v = v if v is not None else variables
         f = jax.jit(
             lambda v, c: jnp.sum(
-                hifigan_fast_forward(gen, v, c, scales=scales).astype(
+                hifigan_fast_forward(g, v, c, scales=scales).astype(
                     jnp.float32
                 )
             )
         )
-        float(f(variables, cs[0]))
+        float(f(v, cs[0]))
         elapsed = _steady_state_time(
-            lambda i: f(variables, cs[1 + i % 2])
+            lambda i: f(v, cs[1 + i % 2])
         )
         value = samples / sr / elapsed
         print(
@@ -217,10 +230,10 @@ def hifigan_v1_bench():
 
     run(None, "hifigan_v1_synthesis_audio_seconds_per_sec_per_chip")
     if os.environ.get("BENCH_INT8", "1") != "0":
-        # int8 serving (the decode --int8 product mode) is the HEADLINE:
-        # measured 3337 audio-s/s vs 2667 bf16 (+25%) with a +0.014 dB
-        # copy-synthesis MCD delta on the shipped trained checkpoint
-        # (docs/VALIDATION.md "int8 serving mode"). BENCH_INT8=0 skips it.
+        # int8 serving (the decode --int8 product mode): measured 3337
+        # audio-s/s vs 2667 bf16 (+25%) with a +0.014 dB copy-synthesis
+        # MCD delta on the shipped trained checkpoint (docs/VALIDATION.md
+        # "int8 serving mode"). BENCH_INT8=0 skips it.
         # BENCH_INT8_DECONV=0 restricts quantization to the MRF convs —
         # measured 3283, i.e. quantized deconvs win in the full graph
         # (+1.6%) even though an ISOLATED int8 conv_transpose measures
@@ -233,6 +246,68 @@ def hifigan_v1_bench():
             scales,
             "hifigan_v1_int8_synthesis_audio_seconds_per_sec_per_chip",
         )
+
+    # HEADLINE (last line): the same serving mode on the SHIPPED TRAINED
+    # checkpoint, with int8 calibration on real (not random) mels — ties
+    # the throughput number to the weights whose quality is measured by
+    # quality_bench. BENCH_WEIGHTS overrides the checkpoint path;
+    # BENCH_WEIGHTS=0 disables the trained-weights lines.
+    weights = os.environ.get("BENCH_WEIGHTS", "")
+    here = os.path.dirname(os.path.abspath(__file__))
+    if weights != "0":
+        ckpt = weights or os.path.join(here, "assets/quality/generator.gckpt")
+        if os.path.exists(ckpt):
+            trained = _trained_hifigan(ckpt, dtype)
+            if trained is not None:
+                tgen, tvars, calib_mels = trained
+                # tile the real eval mels across the bench batch/frames
+                mel = np.concatenate(calib_mels, axis=0)
+                reps = -(-batch * frames // len(mel))
+                mel = np.tile(mel, (reps, 1))[: batch * frames]
+                real_cs = jnp.asarray(
+                    mel.reshape(batch, frames, -1), dtype
+                )
+                tscales = calibrate(tgen, tvars, real_cs)
+                cs[0] = real_cs  # calibrate + time on the real-mel batch
+                run(
+                    tscales,
+                    "hifigan_v1_int8_trained_weights_audio_seconds_per_sec"
+                    "_per_chip",
+                    g=tgen, v=tvars,
+                )
+
+
+def _trained_hifigan(ckpt, dtype):
+    """(generator, folded bf16 variables, eval mels) from a .gckpt, or None
+    if the checkpoint's family doesn't support the fast serving path."""
+    import glob
+
+    import jax
+
+    from parallelwavegan_tpu.ops.hifigan_infer import supports_fast_inference
+    from parallelwavegan_tpu.utils.io import load_config
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    assets = os.path.dirname(os.path.abspath(ckpt))
+    cfg_path = os.path.join(assets, "config.yml")
+    if not os.path.exists(cfg_path):
+        return None
+    cfg = load_config(cfg_path)
+    if cfg.get("generator_type") != "HiFiGANGenerator":
+        return None
+    from parallelwavegan_tpu.engine.checkpoint import (
+        load_generator_checkpoint,
+    )
+
+    model = InferenceModel(cfg, load_generator_checkpoint(ckpt), dtype=dtype)
+    if not supports_fast_inference(model.generator) or model.pqmf is not None:
+        return None
+    mel_files = sorted(glob.glob(os.path.join(assets, "*-feats.npy")))
+    mels = [np.load(f).astype(np.float32) for f in mel_files]
+    if not mels:
+        return None
+    variables = jax.tree.map(lambda x: x.astype(dtype), model.variables)
+    return model.generator, variables, mels
 
 
 _FAMILY_CONFIGS = {
@@ -331,6 +406,125 @@ def family_bench(mode: str):
         ),
     }
     print(json.dumps(result))
+
+
+_LATENCY_FAMILIES = {
+    # family -> (LJSpeech config, reference published batch-1 RTF on
+    # TITAN V, /root/reference/README.md:148-183; None = not published)
+    "pwg_v1": ("parallel_wavegan.v1.yaml", 0.016),
+    "melgan_v1": ("melgan.v1.yaml", 0.002),
+    "mb_melgan_v2": ("multi_band_melgan.v2.yaml", 0.001),
+    "hifigan_v1": ("hifigan.v1.yaml", None),
+    "style_melgan_v1": ("style_melgan.v1.yaml", None),
+}
+
+
+def latency_bench():
+    """Batch-1 per-utterance serving latency (the number comparable to the
+    reference's RTF definition: one utterance at a time through the decode
+    loop, reference bin/decode.py:257-260).
+
+    Times the REAL product path — InferenceModel.synthesize_batch([mel])
+    host-to-host: numpy mel in, device transfer, jitted synthesis, full
+    waveform readback to numpy. Reports p50/p95 over warm calls plus the
+    derived RTF; vs_baseline on the RTF line = reference_RTF / our_RTF
+    (their published TITAN V RTFs; >1 means we are faster). Families:
+    PWG, MelGAN, MB-MelGAN, HiFiGAN bf16+int8, StyleMelGAN. Note the
+    tunneled chip adds a ~1.5 ms dispatch floor and ~30 ms per readback
+    that a locally-attached TPU would not pay; the numbers here are
+    end-to-end honest for THIS deployment.
+
+    BENCH_FRAMES sets the utterance length (default 512 mel frames
+    ~= 5.9 s at 22.05 kHz, an LJSpeech-typical utterance).
+    """
+    import jax.numpy as jnp
+    import yaml
+
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    frames = int(os.environ.get("BENCH_FRAMES", 512))
+    n_warm = int(os.environ.get("BENCH_LATENCY_WARM", 10))
+    n = int(os.environ.get("BENCH_LATENCY_ITERS", 50))
+
+    def measure(model, mel, tag, ref_rtf, sr):
+        for i in range(n_warm):
+            w = model.synthesize_batch([mel], bucket_size=1)[0]
+        audio_s = len(w) / sr
+        times = []
+        for i in range(n):
+            tic = time.perf_counter()
+            model.synthesize_batch([mel], bucket_size=1)
+            times.append(time.perf_counter() - tic)
+        p50 = float(np.percentile(times, 50))
+        p95 = float(np.percentile(times, 95))
+        rtf = p50 / audio_s
+        for name, value, unit, vsb in (
+            (f"{tag}_batch1_latency_ms_p50", p50 * 1e3, "ms", None),
+            (f"{tag}_batch1_latency_ms_p95", p95 * 1e3, "ms", None),
+            (
+                f"{tag}_batch1_rtf", rtf, "rtf",
+                None if ref_rtf is None else round(ref_rtf / rtf, 3),
+            ),
+        ):
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": round(value, 4),
+                        "unit": unit,
+                        "vs_baseline": vsb,
+                    }
+                )
+            )
+
+    for family, (conf, ref_rtf) in _LATENCY_FAMILIES.items():
+        with open(os.path.join(here, "egs/ljspeech/voc1/conf", conf)) as f:
+            cfg = yaml.safe_load(f)
+        import jax
+
+        gp = cfg["generator_params"]
+        num_mels = gp.get("in_channels", gp.get("aux_channels", 80))
+        mel = np.random.default_rng(0).standard_normal(
+            (frames, num_mels)
+        ).astype(np.float32)
+        variables = _init_family_variables(cfg)
+        model = InferenceModel(cfg, variables, dtype=jnp.bfloat16)
+        measure(model, mel, family, ref_rtf, cfg["sampling_rate"])
+        if family == "hifigan_v1":
+            # int8 serving mode latency (decode --int8)
+            model_i8 = InferenceModel(cfg, variables, dtype=jnp.bfloat16)
+            model_i8.quantize_int8([mel])
+            measure(model_i8, mel, "hifigan_v1_int8", ref_rtf,
+                    cfg["sampling_rate"])
+
+
+def _init_family_variables(cfg):
+    """Random-init generator variables for a recipe config (latency is
+    shape-dominated; weights don't change conv timing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.models import get_model_class
+
+    gp = cfg["generator_params"]
+    gen = get_model_class(cfg["generator_type"])(**gp)
+    num_mels = gp.get("in_channels", gp.get("aux_channels", 80))
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+    grid = int(getattr(gen, "noise_upsample_factor", 1) or 1)
+    init_frames = -(-16 // grid) * grid
+    c = jnp.zeros((1, init_frames, num_mels), jnp.float32)
+    if cfg["generator_type"] == "ParallelWaveGANGenerator":
+        hop = int(np.prod(gp["upsample_params"]["upsample_scales"]))
+        ctx = gp.get("aux_context_window", 2)
+        c = jnp.zeros((1, init_frames + 2 * ctx, num_mels), jnp.float32)
+        z = jnp.zeros((1, init_frames * hop, 1), jnp.float32)
+        return gen.init(rngs, z, c)
+    if "StyleMelGAN" in cfg["generator_type"]:
+        z = jnp.zeros((1, init_frames // grid, gp["in_channels"]),
+                      jnp.float32)
+        return gen.init(rngs, c, z)
+    return gen.init(rngs, c)
 
 
 def quality_bench():

@@ -112,8 +112,8 @@ def main():
     n_eval = max(4, args.n_utts // 10)
     splits = {
         "train": range(args.start_index, args.n_utts),
-        "dev": range(n_eval),
-        "eval": range(n_eval),
+        "dev": range(args.start_index, n_eval),
+        "eval": range(args.start_index, n_eval),
     }
     splits = {
         k: v for k, v in splits.items() if k in args.splits.split(",")
@@ -121,8 +121,17 @@ def main():
     for split, idxs in splits.items():
         outdir = os.path.join(args.outdir, split)
         os.makedirs(outdir, exist_ok=True)
+        # extension runs append to wav.scp; never write an id twice (a
+        # repeated run with the same --start-index must be a no-op)
+        scp_path = os.path.join(outdir, "wav.scp")
+        existing = set()
+        if args.start_index > 0 and os.path.exists(scp_path):
+            with open(scp_path) as fh:
+                existing = {ln.split()[0] for ln in fh if ln.strip()}
         scp = []
         for i in idxs:
+            if f"{split}_utt{i}" in existing:
+                continue
             # crc32, NOT hash(): Python string hashing is salted per
             # process, which silently made "deterministic per utterance"
             # false across invocations
@@ -145,9 +154,10 @@ def main():
             path = os.path.join(outdir, f"{split}_utt{i}.wav")
             write_wav(path, wave, sr)
             scp.append(f"{split}_utt{i} {os.path.abspath(path)}")
-        mode = "a" if (args.start_index > 0 and split == "train") else "w"
-        with open(os.path.join(outdir, "wav.scp"), mode) as fh:
-            fh.write("\n".join(scp) + "\n")
+        mode = "a" if args.start_index > 0 else "w"
+        if scp:
+            with open(scp_path, mode) as fh:
+                fh.write("\n".join(scp) + "\n")
     print(f"Generated corpus under {args.outdir}")
 
 

@@ -148,6 +148,21 @@ def main():
     )
     use_f0_and_excitation = gen_type == "UHiFiGANGenerator"
 
+    # fail fast with a clear message instead of a quantize_int8 traceback
+    # after dataset loading
+    if args.int8:
+        if gen_type != "HiFiGANGenerator":
+            parser.error(
+                f"--int8 supports HiFiGANGenerator checkpoints only "
+                f"(got {gen_type})"
+            )
+        if cfg.get("generator_params", {}).get("out_channels", 1) != 1:
+            parser.error(
+                "--int8 does not support multi-band (PQMF) generators"
+            )
+        if args.int8_calib_utts < 1:
+            parser.error("--int8-calib-utts must be >= 1")
+
     if gen_type == "VQVAE":
         # wav2wav path: encode raw audio to codebook indices, then decode
         # (reference bin/decode.py:366-385)
@@ -221,6 +236,11 @@ def main():
     meter = _RTFMeter(model)
 
     if args.int8:
+        if not items:
+            raise ValueError(
+                "--int8 calibration needs at least one utterance, but the "
+                "dataset is empty"
+            )
         calib = []
         for item in items[: args.int8_calib_utts]:
             c = item[1]

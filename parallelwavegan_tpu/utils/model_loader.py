@@ -227,6 +227,14 @@ class InferenceModel:
             raise ValueError(
                 "int8 serving requires a non-causal HiFiGAN generator"
             )
+        if self.pqmf is not None:
+            # the int8 forward returns the raw generator output; it never
+            # applies PQMF synthesis, so a multi-band config would silently
+            # produce subband audio cropped with a PQMF-expanded
+            # upsample_factor — wrong content AND length
+            raise ValueError(
+                "int8 serving does not support multi-band (PQMF) generators"
+            )
         cs = [np.asarray(c, np.float32) for c in calib_mels]
         bucket = max(len(c) for c in cs)
         batch = np.stack(
@@ -275,6 +283,15 @@ class InferenceModel:
         c = np.asarray(c)[None]  # (1, T', C)
         if c.ndim == 2:
             c = c[..., None]
+        # float inputs must match the param dtype (--dtype bfloat16 casts
+        # params; mixed param/input dtypes fail inside lax convs) — token
+        # id inputs stay integer
+        if np.issubdtype(c.dtype, np.floating):
+            c = c.astype(self.dtype)
+        if f0 is not None:
+            f0 = np.asarray(f0, self.dtype)
+        if excitation is not None:
+            excitation = np.asarray(excitation, self.dtype)
         if self.gen_type == "DiscreteSymbolDurationGenerator":
             y, ds_out = self._cached_jit(
                 "dur", c.shape, lambda: lambda v, c: gen.apply(v, c, None, True)
@@ -288,7 +305,7 @@ class InferenceModel:
             n = int(ds.sum()) * self.upsample_factor
             return np.asarray(y, np.float32)[0, :n]
         if self.gen_type == "DiscreteSymbolF0Generator" and f0 is not None:
-            f0 = np.asarray(f0, np.float32).reshape(1, -1, 1)
+            f0 = np.asarray(f0, self.dtype).reshape(1, -1, 1)
             y = self._cached_jit(
                 "f0", (c.shape, f0.shape),
                 lambda: lambda v, c, f: gen.apply(v, c, f),
@@ -297,15 +314,15 @@ class InferenceModel:
         if self.gen_type == "UHiFiGANGenerator":
             assert excitation is not None, "UHiFiGAN requires excitation"
             f0_in = (
-                np.asarray(f0, np.float32).reshape(1, -1, 1)
+                np.asarray(f0, self.dtype).reshape(1, -1, 1)
                 if f0 is not None else None
             )
-            exc = np.asarray(excitation, np.float32).reshape(1, -1, 1)
+            exc = np.asarray(excitation, self.dtype).reshape(1, -1, 1)
             y = self._cached_jit(
                 "uhifigan",
                 (c.shape, None if f0_in is None else f0_in.shape, exc.shape),
                 lambda: lambda v, c, f, e: gen.apply(v, c, f, e),
-            )(self.variables, c.astype(np.float32), f0_in, exc)
+            )(self.variables, c.astype(self.dtype), f0_in, exc)
             return np.asarray(y, np.float32)[0]
         if self.gen_type == "DiscreteSymbolStyleMelGANGenerator":
             if rng is None:
