@@ -41,7 +41,7 @@ docs/VALIDATION.md ("int8 serving mode").
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,8 @@ def hifigan_fast_forward(
     *,
     scales: Optional[Dict[str, float]] = None,
     collect_stats: bool = False,
+    mrf_packs: Optional[Dict[int, Dict[str, jnp.ndarray]]] = None,
+    mrf_interpret: bool = False,
 ):
     """Forward c (B, T', in_ch) -> (B, T'*upsample_factor, out_ch).
 
@@ -103,6 +105,11 @@ def hifigan_fast_forward(
       max|x| of every would-be-quantized conv input (jit-friendly; feed
       through `make_scales`).
     scales=dict: int8 MRF path using those static per-tensor scales.
+    mrf_packs: per-stage packs from build_mrf_packs() — those stages run
+      the fused Pallas MRF kernel (ops/pallas/mrf_stage.py: whole stage
+      VMEM-resident, K=k*C tap-packed int8 matmuls) instead of the XLA
+      conv chain. Orthogonal to `scales` (a pack carries its own
+      quantization); stages not in the dict keep the XLA path.
     """
     assert supports_fast_inference(gen)
     p = variables["params"]
@@ -169,6 +176,19 @@ def hifigan_fast_forward(
         x = _leaky(x, slope)
         w, b = _fold(p[f"upsamples_{i}"])
         x = qdeconv(x, f"s{i}_up", w, b, s_up)
+        if mrf_packs is not None and i in mrf_packs:
+            from parallelwavegan_tpu.ops.pallas.mrf_stage import mrf_stage
+
+            pack = mrf_packs[i]
+            x = mrf_stage(
+                x, {k: v for k, v in pack.items()
+                    if k not in ("chunk", "quant")},
+                kernels=tuple(gen.resblock_kernel_sizes),
+                dils=tuple(gen.resblock_dilations[0]),
+                chunk=pack["chunk"], quant=pack["quant"], slope=slope,
+                interpret=mrf_interpret,
+            )
+            continue
         acc = 0.0
         for j, (k_res, dils) in enumerate(
             zip(gen.resblock_kernel_sizes, gen.resblock_dilations)
@@ -211,3 +231,72 @@ def calibrate(gen, variables, c) -> Dict[str, float]:
         lambda v, c: hifigan_fast_forward(gen, v, c, collect_stats=True)[1]
     )
     return make_scales(jax.device_get(fwd(variables, c)))
+
+
+def supports_mrf_kernel(gen) -> bool:
+    """The fused Pallas MRF stage covers the V1-shaped geometry: 3
+    branches with a SHARED per-layer dilation schedule and additional
+    (dilation-1) convs — i.e. every official HiFiGAN V1/V2 config."""
+    dils = [tuple(d) for d in gen.resblock_dilations]
+    return (
+        supports_fast_inference(gen)
+        and gen.use_additional_convs
+        and len(gen.resblock_kernel_sizes) == 3
+        and len(set(dils)) == 1
+    )
+
+
+def build_mrf_packs(
+    gen,
+    variables: Dict[str, Any],
+    scales: Optional[Dict[str, np.ndarray]] = None,
+    *,
+    stages: Optional[Sequence[int]] = None,
+    quant: bool = True,
+    dtype=jnp.bfloat16,
+) -> Dict[int, Dict[str, Any]]:
+    """Per-stage packs for the fused Pallas MRF kernel.
+
+    stages: which upsample stages run the kernel (default: all).
+    quant=True folds the calibration `scales` (from calibrate()) into
+    int8 weights exactly like qconv; quant=False packs bf16 weights (the
+    pure byte-elimination A/B). Chunk sizes shrink with channel width so
+    each stage's window scratch stays comfortably inside VMEM.
+    """
+    assert supports_mrf_kernel(gen)
+    if quant:
+        assert scales is not None, "quant packs need calibration scales"
+    p = variables["params"]
+    num_blocks = len(gen.resblock_kernel_sizes)
+    n_layers = len(gen.resblock_dilations[0])
+    packs: Dict[int, Dict[str, Any]] = {}
+    ch = gen.channels
+    from parallelwavegan_tpu.ops.pallas.mrf_stage import build_stage_pack
+
+    for i in range(len(gen.upsample_scales)):
+        if stages is not None and i not in stages:
+            continue
+        c_stage = ch // (2 ** (i + 1))
+        weights, sxs = [], []
+        for j in range(num_blocks):
+            bp = p[f"blocks_{i * num_blocks + j}"]
+            w_list, s_list = [], []
+            for li in range(n_layers):
+                for ci in (1, 2):
+                    w, b = _fold(bp[f"convs{ci}_{li}"])
+                    w_list.append((np.asarray(w, np.float32),
+                                   np.asarray(b, np.float32)))
+                    s_list.append(
+                        np.asarray(scales[f"s{i}_b{j}_l{li}_c{ci}"],
+                                   np.float32)
+                        if quant else np.ones((c_stage,), np.float32)
+                    )
+            weights.append(w_list)
+            sxs.append(s_list)
+        pack = build_stage_pack(weights, sxs, quant=quant, dtype=dtype)
+        # VMEM budget: the biggest per-arm temporary is the k=11 window
+        # (tb, 11*C) f32; shrink the chunk as C grows
+        pack["chunk"] = {32: 4096, 64: 4096, 128: 2048}.get(c_stage, 1024)
+        pack["quant"] = quant
+        packs[i] = pack
+    return packs
