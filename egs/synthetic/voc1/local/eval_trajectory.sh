@@ -11,6 +11,12 @@ cd "$(dirname "$0")/.."
 source ../../common/path.sh
 exp=${1:-exp/rich_v1}
 dump=${2:-dump/eval}
+# prefix for per-checkpoint output dirs + the trajectory file: lets a
+# re-evaluation on a grown eval set (e.g. the 16-utterance round-4 set)
+# live beside the original 4-utterance evidence instead of clobbering it
+prefix=${3:-wav_}
+# only evaluate checkpoints >= this step count (0 = all)
+min_steps=${4:-0}
 
 # ground-truth wavs from the dumped (trimmed/gain-scaled) audio
 mkdir -p "${exp}/gt_wav"
@@ -26,7 +32,8 @@ EOF
 
 for ckpt in $(ls "${exp}"/checkpoint-*steps.ckpt | sort -t- -k2 -n); do
     steps=$(basename "${ckpt}" | sed -e 's/checkpoint-//' -e 's/steps.ckpt//')
-    outdir="${exp}/wav_${steps}"
+    [ "${steps}" -lt "${min_steps}" ] && continue
+    outdir="${exp}/${prefix}${steps}"
     if [ ! -f "${outdir}/utt2mcd" ]; then
         echo "=== ${steps} steps: decode + eval ==="
         python -m parallelwavegan_tpu.bin.decode \
@@ -39,14 +46,17 @@ for ckpt in $(ls "${exp}"/checkpoint-*steps.ckpt | sort -t- -k2 -n); do
     fi
 done
 
-python - "${exp}" <<'EOF'
+python - "${exp}" "${prefix}" <<'EOF'
 import glob, json, os, re, sys
 import numpy as np
-exp = sys.argv[1]
+exp, prefix = sys.argv[1:3]
 rows = []
-for d in sorted(glob.glob(os.path.join(exp, "wav_*")),
-                key=lambda p: int(re.search(r"wav_(\d+)", p).group(1))):
-    steps = int(re.search(r"wav_(\d+)", d).group(1))
+for d in sorted(glob.glob(os.path.join(exp, prefix + "*")),
+                key=lambda p: int(re.search(r"(\d+)$", p).group(1))):
+    m = re.search(r"(\d+)$", d)
+    if not d.startswith(os.path.join(exp, prefix)) or not m:
+        continue
+    steps = int(m.group(1))
     def col(fname, idx=1):
         path = os.path.join(d, fname)
         if not os.path.exists(path):
@@ -61,7 +71,10 @@ for d in sorted(glob.glob(os.path.join(exp, "wav_*")),
                  "semitone_acc": col("utt2logf0rmse", 3)})
     mc = [float(l.split()[1]) for l in open(os.path.join(d, "utt2mcd"))]
     rows[-1]["mcd_std"] = round(float(np.std(mc)), 4)
-out = os.path.join(exp, "trajectory.json")
+out = os.path.join(
+    exp, "trajectory.json" if prefix == "wav_"
+    else f"trajectory.{prefix.rstrip('_')}.json"
+)
 json.dump(rows, open(out, "w"), indent=1)
 print(json.dumps(rows))
 print("wrote", out)

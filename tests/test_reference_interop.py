@@ -22,12 +22,13 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXP = os.path.join(REPO, "egs/synthetic/voc1/exp/rich_v1")
+EXP_PWG = os.path.join(REPO, "egs/synthetic/voc1/exp/pwg_rich")
 REFERENCE = "/root/reference"
 
 
-def _latest_ckpt():
+def _latest_ckpt(exp=EXP):
     cs = sorted(
-        glob.glob(os.path.join(EXP, "checkpoint-*steps.ckpt")),
+        glob.glob(os.path.join(exp, "checkpoint-*steps.ckpt")),
         key=lambda p: int(
             os.path.basename(p)[len("checkpoint-"):-len("steps.ckpt")]
         ),
@@ -112,5 +113,96 @@ def test_trained_checkpoint_roundtrip_through_reference_load_model(tmp_path):
     # trained full-size weights through two independent conv stacks
     # (torch NCW vs XLA NWC): demand waveform-level agreement far below
     # audibility; exact numbers recorded in docs/PARITY.md
+    assert err.max() < 5e-3, (err.max(), rel_rmse)
+    assert rel_rmse < 1e-3, rel_rmse
+
+
+@pytest.mark.skipif(
+    _latest_ckpt(EXP_PWG) is None
+    or not os.path.isdir(os.path.join(REFERENCE, "parallel_wavegan")),
+    reason="trained pwg_rich checkpoint or reference repo not present",
+)
+def test_trained_pwg_checkpoint_roundtrip_through_reference_load_model(
+    tmp_path,
+):
+    """Second trained-family full circle (VERDICT r3 ask): a Parallel
+    WaveGAN adversarially trained on TPU, exported to a reference .pkl,
+    loaded with the reference's own load_model, and copy-synthesized with
+    a SHARED noise draw (PWG is noise-driven, so z must be passed to both
+    stacks for a waveform-level comparison — reference
+    parallel_wavegan.py:231-263 accepts x=noise)."""
+    torch = pytest.importorskip("torch")
+
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.engine.build import init_train_state
+    from parallelwavegan_tpu.engine.checkpoint import load_checkpoint
+    from parallelwavegan_tpu.utils.io import load_config, read_hdf5
+    from parallelwavegan_tpu.utils.model_loader import load_model
+    from parallelwavegan_tpu.utils.torch_export import (
+        save_reference_checkpoint,
+    )
+
+    ckpt = _latest_ckpt(EXP_PWG)
+    config = load_config(os.path.join(EXP_PWG, "config.yml"))
+    template = jax.eval_shape(
+        lambda: init_train_state(config, jax.random.key(0))[0]
+    )
+    state = load_checkpoint(ckpt, template)
+    pkl = str(tmp_path / "pwg-export.pkl")
+    save_reference_checkpoint(pkl, state.params_g, config,
+                              steps=int(state.steps))
+
+    mel_files = sorted(
+        glob.glob(os.path.join(REPO, "egs/synthetic/voc1/dump/eval/norm/*.h5"))
+    )
+    assert mel_files, "eval dump missing"
+    c = read_hdf5(mel_files[0], "feats")[:100]  # bound CPU WaveNet time
+    hop = int(np.prod(
+        config["generator_params"]["upsample_params"]["upsample_scales"]
+    ))
+    z = np.random.default_rng(7).standard_normal(
+        (len(c) * hop, 1)
+    ).astype(np.float32)
+
+    import scipy.signal
+    import scipy.signal.windows
+
+    if not hasattr(scipy.signal, "kaiser"):
+        scipy.signal.kaiser = scipy.signal.windows.kaiser
+    sys.path.insert(0, REFERENCE)
+    try:
+        from parallel_wavegan.utils import load_model as ref_load_model
+
+        ref_model = ref_load_model(pkl)
+        ref_model.remove_weight_norm()
+        ref_model.eval()
+        with torch.no_grad():
+            y_ref = (
+                ref_model.inference(
+                    c=torch.from_numpy(np.ascontiguousarray(c)),
+                    x=torch.from_numpy(z),
+                )
+                .cpu()
+                .numpy()
+            )
+    finally:
+        sys.path.remove(REFERENCE)
+
+    ours = load_model(ckpt, config)
+    ctx = config["generator_params"].get("aux_context_window", 2)
+    c_pad = np.pad(c, ((ctx, ctx), (0, 0)), mode="edge")
+    y_ours = np.asarray(
+        ours.generator.apply(
+            ours.variables, jnp.asarray(z)[None], jnp.asarray(c_pad)[None]
+        )[0],
+        np.float32,
+    )
+
+    assert y_ours.shape == y_ref.shape
+    err = np.abs(y_ours - y_ref)
+    denom = np.sqrt(np.mean(y_ref**2)) + 1e-12
+    rel_rmse = np.sqrt(np.mean(err**2)) / denom
     assert err.max() < 5e-3, (err.max(), rel_rmse)
     assert rel_rmse < 1e-3, rel_rmse
