@@ -238,7 +238,17 @@ def hifigan_v1_bench():
         # measured 3283, i.e. quantized deconvs win in the full graph
         # (+1.6%) even though an ISOLATED int8 conv_transpose measures
         # slower than bf16; both full-model points are the honest basis.
-        scales = calibrate(gen, variables, cs[0])
+        # BENCH_INT8_SCHEDULE: 'auto' (product default — the measured-best
+        # mixed schedule: int8 wide stages + deconvs, bf16 small-C) or
+        # 'all' (round-3 behavior, every calibrated conv int8)
+        from parallelwavegan_tpu.ops.hifigan_infer import (
+            filter_scales_schedule,
+        )
+
+        schedule = os.environ.get("BENCH_INT8_SCHEDULE", "auto")
+        scales = filter_scales_schedule(
+            calibrate(gen, variables, cs[0]), gen, schedule
+        )
         if os.environ.get("BENCH_INT8_DECONV", "1") == "0":
             scales = {k: v for k, v in scales.items()
                       if not k.endswith("_up")}
@@ -267,7 +277,10 @@ def hifigan_v1_bench():
                 real_cs = jnp.asarray(
                     mel.reshape(batch, frames, -1), dtype
                 )
-                tscales = calibrate(tgen, tvars, real_cs)
+                tscales = filter_scales_schedule(
+                    calibrate(tgen, tvars, real_cs), tgen,
+                    os.environ.get("BENCH_INT8_SCHEDULE", "auto"),
+                )
                 cs[0] = real_cs  # calibrate + time on the real-mel batch
                 run(
                     tscales,

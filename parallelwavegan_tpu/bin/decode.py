@@ -109,6 +109,13 @@ def main():
         help="number of utterances used for int8 calibration",
     )
     parser.add_argument(
+        "--int8-schedule", default="auto", choices=["auto", "all"],
+        help="'auto' (default): the measured-best mixed schedule — int8 "
+        "on the wide (C>=128) MRF stages + all upsample deconvs, bf16 on "
+        "the streaming-bound small-C stages; 'all': quantize every "
+        "calibrated conv (docs/BENCHMARKS.md, mixed-precision schedule)",
+    )
+    parser.add_argument(
         "--dtype", default=None, choices=[None, "float32", "bfloat16"],
         help="compute dtype for synthesis (default float32; bfloat16 is "
         "the bench's serving configuration, ~2x faster on TPU)",
@@ -248,9 +255,10 @@ def main():
                 c = (c - model.mean) / model.scale
             calib.append(np.asarray(c, np.float32))
         logging.info(
-            f"Calibrating int8 activation scales on {len(calib)} utterances."
+            f"Calibrating int8 activation scales on {len(calib)} utterances "
+            f"(schedule={args.int8_schedule})."
         )
-        model.quantize_int8(calib)
+        model.quantize_int8(calib, schedule=args.int8_schedule)
 
     if gen_type == "VQVAE":
         # per-utterance encode -> decode; dump discrete symbols like the

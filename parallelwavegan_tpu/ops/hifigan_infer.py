@@ -126,7 +126,10 @@ def hifigan_fast_forward(
             # per-input-channel max|x| (see module docstring: per-tensor
             # scales are lossy on trained weights)
             stats[key] = jnp.max(jnp.abs(x), axis=(0, 1)).astype(jnp.float32)
-        if scales is None:
+        if scales is None or key not in scales:
+            # per-key fallback makes quantization stage-selective: drop a
+            # stage's keys from the dict and its convs stay bf16 (used by
+            # the mixed-precision serving schedule, docs/BENCHMARKS.md)
             return conv1d(x, w.astype(x.dtype), b, padding=(k - 1) // 2 * d,
                           dilation=d)
         # sx: (Cin,) per-channel (scalar also broadcasts for back-compat)
@@ -231,6 +234,35 @@ def calibrate(gen, variables, c) -> Dict[str, float]:
         lambda v, c: hifigan_fast_forward(gen, v, c, collect_stats=True)[1]
     )
     return make_scales(jax.device_get(fwd(variables, c)))
+
+
+def filter_scales_schedule(
+    scales: Dict[str, np.ndarray], gen, schedule: str = "auto"
+) -> Dict[str, np.ndarray]:
+    """Apply a quantization schedule by filtering calibration scales.
+
+    'all': every calibrated conv runs int8 (the round-3 behavior).
+    'auto' (product default): int8 on the C>=128 MRF stages and every
+      upsample deconv; the C<=64 MRF stages stay bf16. Measured basis
+      (docs/BENCHMARKS.md, "mixed-precision int8 schedule"): the small-C
+      stages are HBM-streaming-bound in bf16 and XLA's small-C int8
+      convs are no faster in-graph (slower in isolation), so quantizing
+      them buys nothing — the mixed schedule measures faster than
+      all-int8 AND quantizes fewer convs (strictly less quantization
+      noise).
+    """
+    if schedule == "all":
+        return scales
+    assert schedule == "auto", schedule
+    keep = {}
+    for key, v in scales.items():
+        if key.endswith("_up"):
+            keep[key] = v
+            continue
+        stage = int(key[1:key.index("_")])
+        if gen.channels // (2 ** (stage + 1)) >= 128:
+            keep[key] = v
+    return keep
 
 
 def supports_mrf_kernel(gen) -> bool:

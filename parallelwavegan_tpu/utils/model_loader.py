@@ -204,7 +204,7 @@ class InferenceModel:
             self._jit_cache[shape_key] = jax.jit(fn)
         return self._jit_cache[shape_key]
 
-    def quantize_int8(self, calib_mels) -> None:
+    def quantize_int8(self, calib_mels, schedule: str = "auto") -> None:
         """Enable the int8-activation HiFiGAN serving mode.
 
         One calibration pass over representative (normalized) mels records
@@ -213,9 +213,16 @@ class InferenceModel:
         weights (ops/hifigan_infer.py — the int8x8 MXU path plus a halved
         HBM byte stream). Throughput and copy-synthesis quality deltas are
         recorded in docs/VALIDATION.md ("int8 serving mode").
+
+        schedule: 'auto' (default) = the measured-best mixed schedule —
+        int8 on the wide (C>=128) MRF stages and every upsample deconv,
+        bf16 on the streaming-bound small-C stages; 'all' = quantize
+        everything calibrated (round-3 behavior). See
+        ops/hifigan_infer.py filter_scales_schedule.
         """
         from parallelwavegan_tpu.ops.hifigan_infer import (
             calibrate,
+            filter_scales_schedule,
             supports_fast_inference,
         )
 
@@ -241,8 +248,9 @@ class InferenceModel:
             [np.pad(c, ((0, bucket - len(c)), (0, 0)), mode="edge")
              for c in cs]
         ).astype(self.dtype)
-        self._int8_scales = calibrate(
-            self.generator, self.variables, jnp.asarray(batch)
+        self._int8_scales = filter_scales_schedule(
+            calibrate(self.generator, self.variables, jnp.asarray(batch)),
+            self.generator, schedule,
         )
         self._jit_cache.clear()  # full-precision fns are stale now
 

@@ -111,7 +111,9 @@ def test_inference_model_int8_serving(small_gen):
     model = InferenceModel(config, jax.device_get(variables))
     mels = [np.asarray(c[0, :20]), np.asarray(c[1, :24])]
     ref = model.synthesize_batch(mels)
-    model.quantize_int8(mels)
+    # 'all' exercises every quantized conv; the 'auto' product default
+    # keeps this small test model's C<128 MRF stages bf16 (covered below)
+    model.quantize_int8(mels, schedule="all")
     events_after_calib = model.compile_events
     got = model.synthesize_batch(mels)
     assert model.compile_events == events_after_calib + 1  # one new jit
@@ -125,6 +127,49 @@ def test_inference_model_int8_serving(small_gen):
             (r.astype(np.float64) ** 2).mean() + 1e-20
         ) - 10 * np.log10((err.astype(np.float64) ** 2).mean() + 1e-20)
         assert snr > 25, snr
+
+
+def test_int8_schedule_filter(small_gen):
+    """'auto' keeps the C>=128 MRF stages + every deconv; 'all' keeps
+    everything. On the small test model (channels=64 -> stage widths
+    32/16) 'auto' must quantize only the deconvs, and the auto-scheduled
+    model must still synthesize (bf16 fallback per absent key)."""
+    gen, variables, c = small_gen
+    from parallelwavegan_tpu.ops.hifigan_infer import (
+        calibrate,
+        filter_scales_schedule,
+    )
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    scales = calibrate(gen, variables, c)
+    auto = filter_scales_schedule(scales, gen, "auto")
+    assert set(auto) == {k for k in scales if k.endswith("_up")}
+    assert filter_scales_schedule(scales, gen, "all") is scales
+
+    config = {
+        "generator_type": "HiFiGANGenerator",
+        "generator_params": {
+            "in_channels": 20, "channels": 64,
+            "upsample_scales": [4, 4], "upsample_kernel_sizes": [8, 8],
+            "resblock_kernel_sizes": [3, 7],
+            "resblock_dilations": [[1, 3], [1, 3]],
+            "use_weight_norm": True,
+        },
+        "sampling_rate": 16000,
+        "hop_size": 16,
+    }
+    import jax
+
+    model = InferenceModel(config, jax.device_get(variables))
+    mels = [np.asarray(c[0, :20])]
+    ref = model.synthesize_batch(mels)[0]
+    model.quantize_int8(mels)  # product default = auto
+    got = model.synthesize_batch(mels)[0]
+    assert got.shape == ref.shape
+    err = np.abs(got - ref)
+    snr = 10 * np.log10((ref.astype(np.float64) ** 2).mean() + 1e-20) \
+        - 10 * np.log10((err.astype(np.float64) ** 2).mean() + 1e-20)
+    assert snr > 25, snr
 
 
 def test_inference_model_int8_rejects_unsupported():
