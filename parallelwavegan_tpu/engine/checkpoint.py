@@ -32,7 +32,28 @@ def load_checkpoint(path: str, template: GANTrainState) -> GANTrainState:
 
 def load_params_only(path: str, template: GANTrainState,
                      load_discriminator: bool = True) -> GANTrainState:
-    """--pretrain semantics: restore model params, keep fresh optimizers."""
+    """--pretrain semantics: restore model params, keep fresh optimizers.
+
+    Also accepts a generator-only ``.gckpt`` (the distribution artifact of
+    ``save_generator_checkpoint``): the generator warm-starts from it and
+    the discriminator/optimizers stay fresh — the fine-tuning shape of the
+    reference's --pretrain + strict=False discriminator load
+    (/root/reference/parallel_wavegan/bin/train.py:152-191).
+    """
+    if path.endswith(".gckpt"):
+        variables = load_generator_checkpoint(path)
+        params_g = variables.pop("params")
+        # .gckpt may be stored in bf16 for distribution; training keeps
+        # f32 master params, so cast each leaf to the template's dtype
+        cast = jax.tree.map(
+            lambda new, ref: np.asarray(new).astype(np.asarray(ref).dtype),
+            params_g, jax.device_get(template.params_g),
+        )
+        extra_g = jax.tree.map(
+            lambda new, ref: np.asarray(new).astype(np.asarray(ref).dtype),
+            variables, jax.device_get(template.extra_g),
+        )
+        return template.replace(params_g=cast, extra_g=extra_g)
     restored = load_checkpoint(path, template)
     out = template.replace(params_g=restored.params_g,
                            extra_g=restored.extra_g)

@@ -36,10 +36,72 @@ def _latest_ckpt(exp=EXP):
     return cs[-1] if cs else None
 
 
+ASSETS = os.path.join(REPO, "assets/quality")
+# live rich experiments, newest schedule first; the committed .gckpt is
+# the fallback so this test survives the between-rounds workspace wipe
+# (exp/ and dump/ are gitignored — egs/synthetic/voc1/results/README.md)
+HIFIGAN_EXPS = [os.path.join(REPO, "egs/synthetic/voc1/exp", d)
+                for d in ("hifigan.v1.rich5", "rich_v1")]
+
+
+def _hifigan_trained_generator():
+    """(params_g pytree, config, steps) of the newest trained HiFiGAN:
+    a live rich-run train checkpoint if one exists, else the committed
+    distribution generator (assets/quality/generator.gckpt)."""
+    import jax
+
+    from parallelwavegan_tpu.engine.build import init_train_state
+    from parallelwavegan_tpu.engine.checkpoint import (
+        load_checkpoint,
+        load_generator_checkpoint,
+    )
+    from parallelwavegan_tpu.utils.io import load_config
+
+    for exp in HIFIGAN_EXPS:
+        ckpt = _latest_ckpt(exp)
+        if ckpt is not None:
+            config = load_config(os.path.join(exp, "config.yml"))
+            template = jax.eval_shape(
+                lambda: init_train_state(config, jax.random.key(0))[0]
+            )
+            state = load_checkpoint(ckpt, template)
+            return state.params_g, config, int(state.steps)
+    variables = load_generator_checkpoint(
+        os.path.join(ASSETS, "generator.gckpt")
+    )
+    # .gckpt is bf16-stored for distribution; torch export and the f32
+    # parity comparison want f32 (NB np.issubdtype(bfloat16, np.floating)
+    # is False — ml_dtypes bf16 is not a numpy floating subtype, so test
+    # with jnp.issubdtype)
+    import jax.numpy as jnp
+
+    params = jax.tree.map(
+        lambda x: np.asarray(x, np.float32)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else np.asarray(x),
+        variables["params"],
+    )
+    config = load_config(os.path.join(ASSETS, "config.yml"))
+    return params, config, 75000
+
+
+def _eval_mel(n_frames):
+    """A real (normalized) eval mel: live dump if present, else the
+    committed quality assets."""
+    from parallelwavegan_tpu.utils.io import read_hdf5
+
+    mel_files = sorted(
+        glob.glob(os.path.join(REPO, "egs/synthetic/voc1/dump/eval/norm/*.h5"))
+    )
+    if mel_files:
+        return read_hdf5(mel_files[0], "feats")[:n_frames]
+    return np.load(os.path.join(ASSETS, "eval_utt0-feats.npy"))[:n_frames]
+
+
 requires_artifacts = pytest.mark.skipif(
-    _latest_ckpt() is None
-    or not os.path.isdir(os.path.join(REFERENCE, "parallel_wavegan")),
-    reason="trained rich_v1 checkpoint or reference repo not present",
+    not os.path.isdir(os.path.join(REFERENCE, "parallel_wavegan"))
+    or not os.path.exists(os.path.join(ASSETS, "generator.gckpt")),
+    reason="reference repo or committed trained generator not present",
 )
 
 
@@ -47,36 +109,22 @@ requires_artifacts = pytest.mark.skipif(
 def test_trained_checkpoint_roundtrip_through_reference_load_model(tmp_path):
     torch = pytest.importorskip("torch")
 
-    import jax
-
-    from parallelwavegan_tpu.engine.build import init_train_state
-    from parallelwavegan_tpu.engine.checkpoint import load_checkpoint
-    from parallelwavegan_tpu.utils.io import load_config, read_hdf5, save_config
+    from parallelwavegan_tpu.utils.io import save_config
     from parallelwavegan_tpu.utils.model_loader import load_model
     from parallelwavegan_tpu.utils.torch_export import (
         save_reference_checkpoint,
     )
 
-    ckpt = _latest_ckpt()
-    config = load_config(os.path.join(EXP, "config.yml"))
+    params_g, config, steps = _hifigan_trained_generator()
 
     # --- export to a reference .pkl (the convert_checkpoint --to-reference
     # path, invoked as library calls)
-    template = jax.eval_shape(
-        lambda: init_train_state(config, jax.random.key(0))[0]
-    )
-    state = load_checkpoint(ckpt, template)
     pkl = str(tmp_path / "checkpoint-export.pkl")
-    save_reference_checkpoint(pkl, state.params_g, config,
-                              steps=int(state.steps))
+    save_reference_checkpoint(pkl, params_g, config, steps=steps)
     save_config(str(tmp_path / "config.yml"), config)
 
     # --- a real eval mel from the corpus the model was trained on
-    mel_files = sorted(
-        glob.glob(os.path.join(REPO, "egs/synthetic/voc1/dump/eval/norm/*.h5"))
-    )
-    assert mel_files, "eval dump missing"
-    c = read_hdf5(mel_files[0], "feats")[:200]  # bound CPU decode time
+    c = _eval_mel(200)  # bound CPU decode time
 
     # --- decode with the REFERENCE stack
     # the reference targets older scipy (`from scipy.signal import kaiser`,
@@ -102,8 +150,15 @@ def test_trained_checkpoint_roundtrip_through_reference_load_model(tmp_path):
     finally:
         sys.path.remove(REFERENCE)
 
-    # --- decode with OUR stack from the original .ckpt
-    ours = load_model(ckpt, config)
+    # --- decode with OUR stack from a native generator checkpoint of the
+    # same weights (the .gckpt serving path, not the torch-import path)
+    from parallelwavegan_tpu.engine.checkpoint import (
+        save_generator_checkpoint,
+    )
+
+    gckpt = str(tmp_path / "generator.gckpt")
+    save_generator_checkpoint(gckpt, {"params": params_g})
+    ours = load_model(gckpt, config)
     y_ours = ours.inference(c)
 
     assert y_ours.shape == y_ref.shape

@@ -291,6 +291,60 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_pretrain_from_generator_gckpt(tmp_path):
+    """--pretrain accepts a generator-only .gckpt: the generator
+    warm-starts from the (possibly bf16-stored) distribution checkpoint
+    while the discriminator and both optimizers stay fresh — the
+    fine-tuning shape of the reference's --pretrain
+    (/root/reference/parallel_wavegan/bin/train.py:152-191)."""
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.engine.checkpoint import (
+        save_generator_checkpoint,
+    )
+
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="MelGANGenerator",
+        generator_params={
+            "in_channels": 16, "channels": 64, "upsample_scales": [8, 8],
+            "stacks": 1,
+        },
+        discriminator_type="MelGANDiscriminator",
+        discriminator_params={
+            "channels": 8, "downsample_scales": [4],
+            "max_downsample_channels": 32,
+        },
+        discriminator_train_start_steps=0,
+        train_max_steps=2,
+        eval_interval_steps=100,
+    )
+    trainer = Trainer(
+        config, _loader(config, use_noise_input=False, aux_context_window=0)
+    )
+    trainer.run()
+    gckpt = os.path.join(str(tmp_path), "generator.gckpt")
+    save_generator_checkpoint(
+        gckpt, jax.device_get(trainer.state), dtype=jnp.bfloat16
+    )
+
+    trainer2 = Trainer(
+        config, _loader(config, use_noise_input=False, aux_context_window=0)
+    )
+    trainer2.load_checkpoint(gckpt, load_only_params=True)
+    a = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params_g))
+    b = jax.tree_util.tree_leaves(jax.device_get(trainer2.state.params_g))
+    for x, y in zip(a, b):
+        # restored leaves keep the f32 training dtype, values match the
+        # trained ones to bf16 storage precision
+        assert np.asarray(y).dtype == np.asarray(x).dtype
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-2, atol=1e-2
+        )
+    # optimizer state is fresh (step counter back at 0)
+    assert int(trainer2.steps) == 0
+
+
 def test_batch_is_sharded_over_mesh(tmp_path):
     """The train batch must land sharded over all 8 virtual devices."""
     from parallelwavegan_tpu.parallel.mesh import make_mesh, shard_batch
