@@ -17,6 +17,9 @@ dump=${2:-dump/eval}
 prefix=${3:-wav_}
 # only evaluate checkpoints >= this step count (0 = all)
 min_steps=${4:-0}
+# extra args for bin.decode; DECODE_ARGS="--device cpu" runs the decode
+# sweep on the host so it can overlap with chip training
+decode_args=(${DECODE_ARGS:-})
 
 # ground-truth wavs from the dumped (trimmed/gain-scaled) audio
 mkdir -p "${exp}/gt_wav"
@@ -38,7 +41,7 @@ for ckpt in $(ls "${exp}"/checkpoint-*steps.ckpt | sort -t- -k2 -n); do
         echo "=== ${steps} steps: decode + eval ==="
         python -m parallelwavegan_tpu.bin.decode \
             --dumpdir "${dump}/norm" --outdir "${outdir}" \
-            --checkpoint "${ckpt}"
+            --checkpoint "${ckpt}" ${decode_args[@]+"${decode_args[@]}"}
         python -m parallelwavegan_tpu.bin.evaluate_mcd \
             --outdir "${outdir}" --gt-wavdir "${exp}/gt_wav"
         python -m parallelwavegan_tpu.bin.evaluate_f0 \

@@ -120,8 +120,24 @@ def main():
         help="compute dtype for synthesis (default float32; bfloat16 is "
         "the bench's serving configuration, ~2x faster on TPU)",
     )
+    parser.add_argument(
+        "--device", default=None, choices=[None, "cpu", "tpu"],
+        help="force the JAX platform; 'cpu' decodes on the host (the "
+        "reference publishes CPU RTFs too, README.md:155-167 — and it "
+        "lets offline eval sweeps run while a chip is busy training). "
+        "Default: the platform JAX selects (TPU when present).",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
+
+    if args.device == "cpu":
+        # must run before any jax import initializes a backend; the
+        # JAX_PLATFORMS env var is ignored on some TPU plugin images, so
+        # set it through the config API ('tpu'/default: whatever platform
+        # JAX selects on its own)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from parallelwavegan_tpu.utils.compile_cache import (
         enable_persistent_compile_cache,

@@ -142,7 +142,11 @@ def test_full_pipeline(corpus, monkeypatch, tmp_path):
     _run_main(
         decode,
         ["--dumpdir", dump_norm, "--outdir", decode_dir,
-         "--checkpoint", os.path.join(outdir, ckpts[0])],
+         "--checkpoint", os.path.join(outdir, ckpts[0]),
+         # --device cpu pins the host platform (offline eval sweeps run
+         # while a chip trains); a no-op here since conftest already
+         # forces cpu, but it keeps the flag's plumbing exercised
+         "--device", "cpu"],
         monkeypatch,
     )
     gen_wavs = sorted(os.listdir(decode_dir))
