@@ -208,6 +208,11 @@ def test_trained_pwg_checkpoint_roundtrip_through_reference_load_model(
     pkl = str(tmp_path / "pwg-export.pkl")
     save_reference_checkpoint(pkl, state.params_g, config,
                               steps=int(state.steps))
+    # the reference's load_model reads config.yml next to the checkpoint
+    # (utils/utils.py:308-311)
+    from parallelwavegan_tpu.utils.io import save_config
+
+    save_config(str(tmp_path / "config.yml"), config)
 
     mel_files = sorted(
         glob.glob(os.path.join(REPO, "egs/synthetic/voc1/dump/eval/norm/*.h5"))
