@@ -79,11 +79,24 @@ class StyleMelGANGenerator(nn.Module):
         "noise" RNG stream when None). Returns (B, T'*upsample_factor, out)."""
         kinit = normal_init(0.02)
         if z is None:
+            # one noise frame covers noise_upsample_factor mel frames
+            # (reference style_melgan.py:216-221 draws ceil(T'/factor)
+            # noise frames; training crops are exactly one factor long,
+            # longer mels need more)
+            nf = (c.shape[1] - 1) // self.noise_upsample_factor + 1
             z = jax.random.normal(
-                self.make_rng("noise"), (c.shape[0], 1, self.in_channels),
+                self.make_rng("noise"), (c.shape[0], nf, self.in_channels),
                 dtype=c.dtype,
             )
         x = self._noise_upsample(z, deterministic)
+        if c.shape[1] < x.shape[1]:
+            # replicate-pad the conditioning to the noise-upsampled grid
+            # (reference style_melgan.py:231 — callers crop the output
+            # back to T'*upsample_factor)
+            c = jnp.pad(
+                c, ((0, 0), (0, x.shape[1] - c.shape[1]), (0, 0)),
+                mode="edge",
+            )
         for i, s in enumerate(self.upsample_scales):
             x, c = TADEResBlock(
                 in_channels=self.channels,
@@ -120,7 +133,9 @@ class StyleMelGANGenerator(nn.Module):
         noise_t = noise_frames * self.noise_upsample_factor
         total_length = c.shape[1] * self.upsample_factor
         c = jnp.pad(c, ((0, 0), (0, noise_t - c.shape[1]), (0, 0)), mode="edge")
-        z = jax.random.normal(rng, (1, 1, self.in_channels), dtype=c.dtype)
+        z = jax.random.normal(
+            rng, (1, noise_frames, self.in_channels), dtype=c.dtype
+        )
         y = self.apply(variables, c, z, rngs={"noise": rng})
         return y[0, :total_length]
 

@@ -97,8 +97,13 @@ def pwg_fused_forward(
             # all layers in ONE kernel call when the halo stays a small
             # fraction of the chunk: one window gather + one skip output
             # instead of one per dilation cycle (938 vs 901 audio-s/s on
-            # v5e for PWG v1); per-cycle groups for huge dilations
-            group_size = L if sum(dils) <= chunk // 4 else min(lpc, 10)
+            # v5e for PWG v1); per-cycle groups for huge dilations — and
+            # for f32, whose per-layer VMEM residency is 2x the bf16
+            # serving path's (an all-layer f32 call at chunk 16384 was
+            # measured to exceed the 100 MB scoped-vmem limit by ~14 MB
+            # on v5e, killing f32 CLI decodes of >1 s utterances)
+            one_call = sum(dils) <= chunk // 4 and x.dtype.itemsize <= 2
+            group_size = L if one_call else min(lpc, 10)
     skip_total = None
     for g0 in range(0, L, group_size):
         idx = list(range(g0, min(g0 + group_size, L)))

@@ -488,8 +488,11 @@ class InferenceModel:
                 padded, ((0, 0), (0, frames * nf - bucket), (0, 0)),
                 mode="edge",
             )
+            # one noise frame per noise_upsample_factor mel frames
+            # (reference style_melgan.py:216-221; a single frame only
+            # covers mels up to one factor long — the training crop size)
             z = jax.random.normal(
-                rng, (len(cs), 1, self.generator.in_channels),
+                rng, (len(cs), frames, self.generator.in_channels),
                 dtype=self.dtype,
             )
         fn = self._forward_fn((padded.shape, z is not None))

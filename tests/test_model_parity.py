@@ -201,6 +201,50 @@ def test_style_melgan_generator_parity():
     np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_style_melgan_generator_parity_multi_frame_noise():
+    """Mels longer than one noise_upsample_factor need >1 noise frame
+    (reference style_melgan.py:216-221). Round 4 found the single-frame
+    assumption baked into inference/synthesize_batch — this pins the
+    multi-frame path against the reference forward."""
+    config = dict(
+        in_channels=32, aux_channels=20, channels=16,
+        noise_upsample_scales=[4, 2], upsample_scales=[2, 2, 1],
+    )
+    ref, ours, variables = _build_pair("StyleMelGANGenerator", config)
+    rng = np.random.default_rng(9)
+    # 3 noise frames -> noise-upsampled length 24; mel matches it
+    c = rng.standard_normal((2, 20, 24)).astype(np.float32)
+    z = rng.standard_normal((2, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(c), torch.from_numpy(z)).numpy()
+    out = ours.apply(
+        variables, jnp.asarray(c.transpose(0, 2, 1)),
+        jnp.asarray(z.transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(_bct(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_style_melgan_inference_long_mel_length():
+    """inference() on a mel that is not a multiple of (and longer than)
+    the noise-upsample factor: output must be exactly T'*upsample_factor
+    (the pop-noise crop, reference style_melgan.py:227-238)."""
+    from parallelwavegan_tpu.models import get_model_class
+
+    cls = get_model_class("StyleMelGANGenerator")
+    ours = cls(
+        in_channels=32, aux_channels=20, channels=16,
+        noise_upsample_scales=[4, 2], upsample_scales=[2, 2, 1],
+    )
+    c = np.random.default_rng(3).standard_normal((21, 20)).astype(np.float32)
+    variables = ours.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 8, 20)),
+    )
+    y = ours.inference(variables, c, rng=jax.random.key(2))
+    # 21 frames -> 3 noise frames (ceil(21/8)), crop back to 21 * 4
+    assert y.shape == (21 * 4, 1)
+
+
 def test_style_melgan_discriminator_parity(monkeypatch):
     """Value parity with pinned window starts: the reference draws starts
     from global np RNG (style_melgan.py:330), so pin np.random.randint to a
