@@ -75,6 +75,8 @@ def main():
     import jax.numpy as jnp
 
     mode = os.environ.get("BENCH_MODE", "")
+    if mode == "all":
+        return all_bench()
     if mode == "train":
         return train_bench()
     if mode == "quality":
@@ -100,6 +102,34 @@ def main():
     if mode == "hifigan_fast":
         return hifigan_v1_bench()
     raise SystemExit(f"unknown BENCH_MODE={mode!r}")
+
+
+def all_bench():
+    """BENCH_MODE=all: every family's serving throughput, batch-1 latency
+    (incl. per-stage split + pcm16 + int8 rows), full adversarial
+    training steps/s (mixed precision, the product default), and the
+    quality headline — one JSON stream so a single driver artifact
+    captures what the per-mode runs produce individually. ~all numbers in
+    docs/BENCHMARKS.md reproduce from this mode."""
+    pwg_bench()
+    for fam in ("melgan", "mb_melgan", "hifigan", "style_melgan"):
+        family_bench(fam)
+    hifigan_v1_bench()
+    latency_bench()
+    os.environ.setdefault("BENCH_MP", "1")
+    for conf in (
+        "egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml",
+        "egs/ljspeech/voc1/conf/hifigan.v1.yaml",
+        "egs/ljspeech/voc1/conf/melgan.v1.yaml",
+        "egs/ljspeech/voc1/conf/multi_band_melgan.v2.yaml",
+        "egs/ljspeech/voc1/conf/style_melgan.v1.yaml",
+    ):
+        os.environ["BENCH_CONFIG"] = conf
+        train_bench()
+    try:
+        quality_bench()
+    except Exception as e:  # quality assets absent: keep the rest
+        print(f"# quality_bench skipped: {e}")
 
 
 def pwg_bench():
@@ -460,6 +490,18 @@ def latency_bench():
     n_warm = int(os.environ.get("BENCH_LATENCY_WARM", 10))
     n = int(os.environ.get("BENCH_LATENCY_ITERS", 50))
 
+    def emit(name, value, unit, vsb=None):
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(value, 4),
+                    "unit": unit,
+                    "vs_baseline": vsb,
+                }
+            )
+        )
+
     def measure(model, mel, tag, ref_rtf, sr):
         for i in range(n_warm):
             w = model.synthesize_batch([mel], bucket_size=1)[0]
@@ -472,23 +514,42 @@ def latency_bench():
         p50 = float(np.percentile(times, 50))
         p95 = float(np.percentile(times, 95))
         rtf = p50 / audio_s
-        for name, value, unit, vsb in (
-            (f"{tag}_batch1_latency_ms_p50", p50 * 1e3, "ms", None),
-            (f"{tag}_batch1_latency_ms_p95", p95 * 1e3, "ms", None),
-            (
-                f"{tag}_batch1_rtf", rtf, "rtf",
-                None if ref_rtf is None else round(ref_rtf / rtf, 3),
-            ),
-        ):
-            print(
-                json.dumps(
-                    {
-                        "metric": name,
-                        "value": round(value, 4),
-                        "unit": unit,
-                        "vs_baseline": vsb,
-                    }
-                )
+        emit(f"{tag}_batch1_latency_ms_p50", p50 * 1e3, "ms")
+        emit(f"{tag}_batch1_latency_ms_p95", p95 * 1e3, "ms")
+        emit(
+            f"{tag}_batch1_rtf", rtf, "rtf",
+            None if ref_rtf is None else round(ref_rtf / rtf, 3),
+        )
+        return p50
+
+    def measure_split(model, mel, tag):
+        """Decompose one batch-1 call: dispatch (async call returns) /
+        compute (block_until_ready fires) / readback (device->host copy
+        of the waveform). On this tunneled platform completion events can
+        lag the device (BENCHMARKS timing note), so 'compute' is an upper
+        bound and 'readback' a lower bound on the true device time /
+        transfer — the split still tells which knob moves the total."""
+        import jax
+
+        fn, args, _ = model.prepare_batch([mel], bucket_size=1)
+        for _ in range(5):
+            np.asarray(fn(*args))
+        rows = {"dispatch": [], "compute": [], "readback": []}
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            t1 = time.perf_counter()
+            jax.block_until_ready(out)
+            t2 = time.perf_counter()
+            np.asarray(out)
+            t3 = time.perf_counter()
+            rows["dispatch"].append(t1 - t0)
+            rows["compute"].append(t2 - t1)
+            rows["readback"].append(t3 - t2)
+        for stage, ts in rows.items():
+            emit(
+                f"{tag}_batch1_{stage}_ms_p50",
+                float(np.percentile(ts, 50)) * 1e3, "ms",
             )
 
     for family, (conf, ref_rtf) in _LATENCY_FAMILIES.items():
@@ -504,6 +565,13 @@ def latency_bench():
         variables = _init_family_variables(cfg)
         model = InferenceModel(cfg, variables, dtype=jnp.bfloat16)
         measure(model, mel, family, ref_rtf, cfg["sampling_rate"])
+        measure_split(model, mel, family)
+        # on-device int16 PCM output (decode --pcm16): same synthesis,
+        # half the readback bytes
+        model_pcm = InferenceModel(cfg, variables, dtype=jnp.bfloat16,
+                                   pcm16=True)
+        measure(model_pcm, mel, f"{family}_pcm16", ref_rtf,
+                cfg["sampling_rate"])
         if family == "hifigan_v1":
             # int8 serving mode latency (decode --int8)
             model_i8 = InferenceModel(cfg, variables, dtype=jnp.bfloat16)

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint", default=None,
                    help="defaults to the highest-step checkpoint in --exp")
+    p.add_argument("--use-ema", action="store_true",
+                   help="export the EMA generator stream instead of the "
+                   "raw params (requires generator_ema_decay in the run)")
     args = p.parse_args()
 
     import jax
@@ -59,9 +62,19 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     save_generator_checkpoint(
         os.path.join(args.out, "generator.gckpt"), state,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, use_ema=args.use_ema,
     )
     config["quality_asset_source_checkpoint"] = os.path.basename(ckpt)
+    if args.use_ema:
+        config["quality_asset_is_ema"] = True
+    # keep the shipped config portable: no machine-specific absolute paths
+    repo_root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "..", "..")
+    )
+    for key in ("pretrain", "resume", "outdir"):
+        val = config.get(key)
+        if isinstance(val, str) and os.path.isabs(val):
+            config[key] = os.path.relpath(val, repo_root)
     save_config(os.path.join(args.out, "config.yml"), config)
     for f in sorted(glob.glob(os.path.join(args.dump, "norm/*.h5"))):
         utt = os.path.splitext(os.path.basename(f))[0]

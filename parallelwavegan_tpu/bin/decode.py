@@ -121,6 +121,18 @@ def main():
         "the bench's serving configuration, ~2x faster on TPU)",
     )
     parser.add_argument(
+        "--pcm16", action="store_true",
+        help="convert the waveform to 16-bit PCM on device (the sample "
+        "format of the output WAVs anyway): halves the device->host "
+        "readback bytes, which dominates batch-1 latency on "
+        "dispatch-bound deployments (docs/BENCHMARKS.md latency table)",
+    )
+    parser.add_argument(
+        "--use-ema", action="store_true",
+        help="serve the EMA generator weights from a .ckpt trained with "
+        "generator_ema_decay (GAN-stabilized average; docs/VALIDATION.md)",
+    )
+    parser.add_argument(
         "--device", default=None, choices=[None, "cpu", "tpu"],
         help="force the JAX platform; 'cpu' decodes on the host (the "
         "reference publishes CPU RTFs too, README.md:155-167 — and it "
@@ -130,14 +142,18 @@ def main():
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
-    if args.device == "cpu":
+    if args.device is not None:
         # must run before any jax import initializes a backend; the
         # JAX_PLATFORMS env var is ignored on some TPU plugin images, so
-        # set it through the config API ('tpu'/default: whatever platform
-        # JAX selects on its own)
+        # set it through the config API. 'tpu' restores automatic platform
+        # selection (which prefers the accelerator — whose plugin may
+        # register under another name, e.g. 'axon' here) so it overrides
+        # an inherited cpu pin rather than silently doing nothing.
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_platforms", "cpu" if args.device == "cpu" else ""
+        )
 
     from parallelwavegan_tpu.utils.compile_cache import (
         enable_persistent_compile_cache,
@@ -250,7 +266,8 @@ def main():
         args.dtype
     ]
     model = load_model(args.checkpoint, config, stats=args.stats,
-                       dtype=dtype)
+                       dtype=dtype, use_ema=args.use_ema,
+                       pcm16=args.pcm16)
     config = model.config
     sr = config.get("sampling_rate", 22050)
 

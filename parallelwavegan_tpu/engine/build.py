@@ -150,6 +150,13 @@ def init_train_state(
         config.get("discriminator_grad_norm", -1),
     )
 
+    ema_g = None
+    if float(config.get("generator_ema_decay", 0.0) or 0.0) > 0.0:
+        # seed the EMA stream from the initial params (or, on resume /
+        # legacy checkpoints, from the restored params — engine.checkpoint).
+        # Real copies, not aliases: the train step donates the state, and
+        # a twice-donated buffer is an XLA execution error.
+        ema_g = jax.tree_util.tree_map(jnp.copy, params_g)
     state = GANTrainState(
         steps=jnp.asarray(0, jnp.int32),
         params_g=params_g,
@@ -158,6 +165,7 @@ def init_train_state(
         params_d=params_d,
         extra_d=extra_d,
         opt_d=opt_d.init(params_d),
+        ema_g=ema_g,
     )
     return state, generator, discriminator, opt_g, opt_d
 

@@ -25,9 +25,23 @@ def save_checkpoint(path: str, state: GANTrainState) -> None:
 
 
 def load_checkpoint(path: str, template: GANTrainState) -> GANTrainState:
-    """Restore a checkpoint into the structure of `template`."""
+    """Restore a checkpoint into the structure of `template`.
+
+    Handles the EMA field across format generations: a pre-EMA checkpoint
+    restored into an EMA-enabled template seeds the EMA stream from the
+    restored generator params; an EMA checkpoint restored into an
+    EMA-disabled template drops the EMA tensors.
+    """
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        state_dict = serialization.msgpack_restore(f.read())
+    tdict = serialization.to_state_dict(template)
+    if tdict.get("ema_g") is None:
+        state_dict["ema_g"] = None
+    elif state_dict.get("ema_g") is None:
+        state_dict["ema_g"] = jax.tree.map(
+            np.copy, state_dict["params_g"]
+        )
+    return serialization.from_state_dict(template, state_dict)
 
 
 def load_params_only(path: str, template: GANTrainState,
@@ -42,6 +56,7 @@ def load_params_only(path: str, template: GANTrainState,
     """
     if path.endswith(".gckpt"):
         variables = load_generator_checkpoint(path)
+        variables.pop("ema", None)  # raw params warm-start; EMA reseeds
         params_g = variables.pop("params")
         # .gckpt may be stored in bf16 for distribution; training keeps
         # f32 master params, so cast each leaf to the template's dtype
@@ -49,14 +64,31 @@ def load_params_only(path: str, template: GANTrainState,
             lambda new, ref: np.asarray(new).astype(np.asarray(ref).dtype),
             params_g, jax.device_get(template.params_g),
         )
+        template_extra = jax.device_get(template.extra_g)
+        t_struct = jax.tree.structure(template_extra)
+        c_struct = jax.tree.structure(variables)
+        if t_struct != c_struct:
+            # e.g. a params-only .gckpt loaded into a model with extra
+            # collections (or vice versa): fail with names, not an opaque
+            # tree-structure error
+            raise ValueError(
+                "checkpoint non-param collections do not match the model: "
+                f"checkpoint has {sorted(variables)}, model expects "
+                f"{sorted(template_extra)} (structures {c_struct} vs "
+                f"{t_struct})"
+            )
         extra_g = jax.tree.map(
             lambda new, ref: np.asarray(new).astype(np.asarray(ref).dtype),
-            variables, jax.device_get(template.extra_g),
+            variables, template_extra,
         )
-        return template.replace(params_g=cast, extra_g=extra_g)
+        out = template.replace(params_g=cast, extra_g=extra_g)
+        if template.ema_g is not None:
+            out = out.replace(ema_g=jax.tree.map(np.copy, cast))
+        return out
     restored = load_checkpoint(path, template)
     out = template.replace(params_g=restored.params_g,
-                           extra_g=restored.extra_g)
+                           extra_g=restored.extra_g,
+                           ema_g=restored.ema_g)
     if load_discriminator:
         out = out.replace(params_d=restored.params_d,
                           extra_d=restored.extra_d)
@@ -93,7 +125,7 @@ def load_reference_checkpoint(
 
 
 def save_generator_checkpoint(path: str, state_or_variables,
-                              dtype=None) -> None:
+                              dtype=None, use_ema: bool = False) -> None:
     """Inference-only checkpoint: just the generator variables.
 
     A full GANTrainState checkpoint carries the discriminator and both
@@ -107,8 +139,16 @@ def save_generator_checkpoint(path: str, state_or_variables,
     """
     if isinstance(state_or_variables, GANTrainState):
         s = state_or_variables
-        variables = {"params": s.params_g, **s.extra_g}
+        params = s.params_g
+        if use_ema:
+            assert s.ema_g is not None, (
+                "use_ema=True but the train state has no EMA stream "
+                "(set generator_ema_decay in the training config)"
+            )
+            params = s.ema_g
+        variables = {"params": params, **s.extra_g}
     else:
+        assert not use_ema, "use_ema only applies to a GANTrainState"
         variables = state_or_variables
     variables = jax.device_get(variables)
     if dtype is not None:

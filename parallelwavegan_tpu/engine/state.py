@@ -22,3 +22,8 @@ class GANTrainState(struct.PyTreeNode):
     params_d: Any
     extra_d: Dict[str, Any]
     opt_d: Any
+    # exponential moving average of params_g (config generator_ema_decay>0;
+    # None when disabled). A standard GAN-vocoder stabilizer the reference
+    # lacks; serving can select it via load_model(use_ema=True) /
+    # decode --use-ema. Updated after each generator step in engine.step.
+    ema_g: Any = None

@@ -26,6 +26,20 @@ import jax.numpy as jnp
 from parallelwavegan_tpu.engine.state import GANTrainState
 
 
+def fold_step_rng(rng, steps, axis):
+    """Derive the per-step (and, under shard_map, per-device) rng stream.
+
+    Folding in the device index decorrelates noise/dropout/random-window
+    streams across data-parallel shards — the analogue of DDP's
+    per-process RNG (each reference worker seeds its own torch/np RNG).
+    Tested in tests/test_trainer.py::test_per_device_rng_decorrelation.
+    """
+    rng = jax.random.fold_in(rng, steps)
+    if axis is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    return rng
+
+
 def make_generator_forward(
     config: Dict[str, Any], generator, per_device: bool = False
 ) -> Callable:
@@ -395,16 +409,13 @@ def build_steps(
         return dis_loss, (metrics, extra2)
 
     recompute = config.get("update_prediction_after_generator_update", True)
+    ema_decay = float(config.get("generator_ema_decay", 0.0) or 0.0)
 
     @functools.lru_cache(maxsize=8)
     def train_step_factory(train_g: bool, use_adv: bool, train_d: bool):
         def step(state: GANTrainState, batch, rng) -> Tuple[GANTrainState, Dict]:
             batch = prepare_batch(batch)
-            rng = jax.random.fold_in(rng, state.steps)
-            if axis is not None:
-                # decorrelate per-shard noise/dropout/window streams
-                # (DDP analogue: each process has its own RNG)
-                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            rng = fold_step_rng(rng, state.steps, axis)
             r_g, r_dg, r_d = jax.random.split(rng, 3)
             metrics: Dict[str, jnp.ndarray] = {}
             params_g, opt_g_state = state.params_g, state.opt_g
@@ -425,6 +436,15 @@ def build_steps(
                 )
                 params_g = jax.tree_util.tree_map(
                     lambda p, u: p + u, state.params_g, updates
+                )
+
+            ema_g = state.ema_g
+            if train_g and ema_decay > 0.0 and state.ema_g is not None:
+                # EMA depends only on the (pmean-replicated) params, so it
+                # stays replicated under shard_map like the params do
+                ema_g = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    state.ema_g, params_g,
                 )
 
             params_d, opt_d_state, extra_d = (
@@ -461,6 +481,7 @@ def build_steps(
                 params_d=params_d,
                 extra_d=extra_d,
                 opt_d=opt_d_state,
+                ema_g=ema_g,
             )
             if axis is not None:
                 metrics = jax.lax.pmean(metrics, axis)

@@ -87,7 +87,12 @@ def write_wav(path: str, wave: np.ndarray, sampling_rate: int,
     if folder:
         os.makedirs(folder, exist_ok=True)
     assert subtype == "PCM_16"
-    data = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
+    wave = np.asarray(wave)
+    if wave.dtype == np.int16:
+        # already device-converted PCM (InferenceModel pcm16=True)
+        wavfile.write(path, sampling_rate, wave)
+        return
+    data = np.clip(wave.astype(np.float64), -1.0, 1.0)
     wavfile.write(path, sampling_rate, (data * 32767.0).astype(np.int16))
 
 

@@ -51,7 +51,7 @@ class InferenceModel:
     """Generator + folded params + stats + (optional) PQMF."""
 
     def __init__(self, config: Dict[str, Any], variables: Dict[str, Any],
-                 fold_norm: bool = True, dtype=None):
+                 fold_norm: bool = True, dtype=None, pcm16: bool = False):
         gen_params = dict(config.get("generator_params", {}))
         # reference back-compat: fix the upsample_kernal_sizes typo
         # (utils/utils.py:319-324)
@@ -105,6 +105,13 @@ class InferenceModel:
         # int8 activation scales for the HiFiGAN serving path (see
         # quantize_int8); None = full-precision forward
         self._int8_scales = None
+        # pcm16=True converts the waveform to int16 PCM ON DEVICE (the
+        # sample format decode writes anyway) — synthesize_batch/inference
+        # then return int16 arrays and the device->host readback moves
+        # half the bytes. The conversion matches utils.io.write_wav
+        # (clip to [-1,1], *32767, truncate) to <=1 LSB; measured batch-1
+        # latency effect: docs/BENCHMARKS.md (latency table).
+        self.pcm16 = bool(pcm16)
 
     def _upsample_factor(self, gp) -> int:
         if self.gen_type == "ParallelWaveGANGenerator":
@@ -200,6 +207,16 @@ class InferenceModel:
                     if self.pqmf is not None:
                         y = self.pqmf.synthesis(y)
                     return y
+
+            if self.pcm16:
+                raw_fn = fn
+
+                def fn(variables, c, z):
+                    y = raw_fn(variables, c, z)
+                    # f32 before scaling: bf16's 8-bit mantissa would
+                    # quantize worse than the 16-bit target format
+                    y = jnp.clip(y.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                    return y.astype(jnp.int16)
 
             self._jit_cache[shape_key] = jax.jit(fn)
         return self._jit_cache[shape_key]
@@ -444,15 +461,19 @@ class InferenceModel:
             outs.append(y[(a - lo) * up : (b - lo) * up])
         return np.concatenate(outs, axis=0)
 
-    def synthesize_batch(
+    def prepare_batch(
         self,
         cs: Sequence[np.ndarray],
         normalize_before: bool = False,
         rng: Optional[jax.Array] = None,
         bucket_size: int = 64,
-    ) -> List[np.ndarray]:
-        """Batched synthesis: pad mels to a shared bucket length, one jit
-        call per bucket shape, crop outputs to true lengths."""
+    ):
+        """Host-side prep for one batched synthesis call: pad mels to a
+        shared bucket length, draw noise if the family needs it, and
+        resolve the jitted forward. Returns (fn, args, lengths) with
+        `fn(*args)` the device call — exposed so callers (bench.py's
+        latency split) can time dispatch/compute/readback separately;
+        synthesize_batch is prepare + call + crop."""
         if rng is None:
             rng = jax.random.key(0)
         cs = [np.asarray(c, dtype=np.float32) for c in cs]
@@ -496,11 +517,27 @@ class InferenceModel:
                 dtype=self.dtype,
             )
         fn = self._forward_fn((padded.shape, z is not None))
+        return fn, (self.variables, jnp.asarray(padded), z), lengths
+
+    def synthesize_batch(
+        self,
+        cs: Sequence[np.ndarray],
+        normalize_before: bool = False,
+        rng: Optional[jax.Array] = None,
+        bucket_size: int = 64,
+    ) -> List[np.ndarray]:
+        """Batched synthesis: pad mels to a shared bucket length, one jit
+        call per bucket shape, crop outputs to true lengths. Output dtype
+        is float32, or int16 when the model was built with pcm16=True."""
+        fn, args, lengths = self.prepare_batch(
+            cs, normalize_before, rng, bucket_size
+        )
         y = np.asarray(
-            fn(self.variables, jnp.asarray(padded), z), dtype=np.float32
+            fn(*args), dtype=np.int16 if self.pcm16 else np.float32
         )
         return [
-            y[i, : lengths[i] * self.upsample_factor] for i in range(len(cs))
+            y[i, : lengths[i] * self.upsample_factor]
+            for i in range(len(lengths))
         ]
 
 
@@ -510,11 +547,23 @@ def load_model(
     stats: Optional[str] = None,
     fold_norm: bool = True,
     dtype=None,
+    use_ema: bool = False,
+    pcm16: bool = False,
 ) -> InferenceModel:
-    """Load an InferenceModel from our .ckpt or a reference torch .pkl."""
+    """Load an InferenceModel from our .ckpt or a reference torch .pkl.
+
+    use_ema=True serves the EMA generator weights from a .ckpt trained
+    with generator_ema_decay (or a .gckpt exported with use_ema=True is
+    already EMA — the flag is for full train-state checkpoints)."""
     if config is None:
         dirname = os.path.dirname(checkpoint)
         config = load_config(os.path.join(dirname, "config.yml"))
+    if use_ema and checkpoint.endswith((".pkl", ".gckpt")):
+        raise ValueError(
+            "use_ema applies to full train-state .ckpt files only (a "
+            ".gckpt already holds exactly the params chosen at export; "
+            "reference .pkl checkpoints have no EMA stream)"
+        )
     if checkpoint.endswith(".pkl"):
         from parallelwavegan_tpu.engine.checkpoint import (
             load_reference_checkpoint,
@@ -537,9 +586,18 @@ def load_model(
         template = jax.eval_shape(
             lambda: init_train_state(config, jax.random.key(0))[0]
         )
+        if use_ema and float(
+            config.get("generator_ema_decay", 0.0) or 0.0
+        ) <= 0.0:
+            raise ValueError(
+                "use_ema=True but the checkpoint's config has no "
+                "generator_ema_decay — this run kept no EMA stream"
+            )
         state = load_checkpoint(checkpoint, template)
-        variables = {"params": state.params_g, **state.extra_g}
-    model = InferenceModel(config, variables, fold_norm=fold_norm, dtype=dtype)
+        params = state.ema_g if use_ema else state.params_g
+        variables = {"params": params, **state.extra_g}
+    model = InferenceModel(config, variables, fold_norm=fold_norm,
+                           dtype=dtype, pcm16=pcm16)
     if stats is not None:
         model.register_stats(stats)
     return model

@@ -284,3 +284,59 @@ def test_chunked_synthesis_exact():
                                       context_frames=48)
     assert chunked.shape == (T * 16, 1)
     assert np.isfinite(chunked).all()
+
+
+def test_pcm16_on_device_output(tmp_path):
+    """pcm16=True converts to int16 PCM on device (halving readback
+    bytes); must match utils.io.write_wav's host-side conversion of the
+    float output to <=1 LSB, and write_wav must pass the int16 array
+    through bit-exactly."""
+    import yaml
+
+    from parallelwavegan_tpu.engine.build import init_train_state
+    from parallelwavegan_tpu.engine.checkpoint import save_checkpoint
+    from parallelwavegan_tpu.utils.io import write_wav
+    from scipy.io import wavfile
+
+    config = {
+        "generator_type": "MelGANGenerator",
+        "generator_params": {
+            "in_channels": 16, "channels": 64, "upsample_scales": [8, 8],
+            "stacks": 1,
+        },
+        "discriminator_type": "MelGANDiscriminator",
+        "discriminator_params": {
+            "channels": 8, "downsample_scales": [4],
+            "max_downsample_channels": 32,
+        },
+        "hop_size": 64, "num_mels": 16, "batch_max_steps": 512,
+        "sampling_rate": 16000,
+    }
+    import jax
+
+    state, *_ = init_train_state(config, jax.random.key(0))
+    ckpt = str(tmp_path / "checkpoint-0steps.ckpt")
+    save_checkpoint(ckpt, state)
+    with open(tmp_path / "config.yml", "w") as f:
+        yaml.dump(config, f)
+
+    mel = np.random.default_rng(0).standard_normal((40, 16)).astype(
+        np.float32
+    )
+    m_f32 = load_model(ckpt, config)
+    m_i16 = load_model(ckpt, config, pcm16=True)
+    y = m_f32.inference(mel)
+    y16 = m_i16.inference(mel)
+    assert y16.dtype == np.int16 and y16.shape == y.shape
+
+    # device conversion vs the host path write_wav applies to floats
+    host16 = (np.clip(y.astype(np.float64), -1, 1)[:, 0] * 32767.0).astype(
+        np.int16
+    )
+    assert np.abs(y16[:, 0].astype(np.int32) - host16.astype(np.int32)).max() <= 1
+
+    # write_wav round-trips the int16 array bit-exactly
+    wav_path = str(tmp_path / "x.wav")
+    write_wav(wav_path, y16[:, 0], 16000)
+    _, back = wavfile.read(wav_path)
+    np.testing.assert_array_equal(back, y16[:, 0])

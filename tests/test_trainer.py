@@ -505,3 +505,157 @@ def test_dispatch_queue_depth_zero_disables_bound(tmp_path):
     trainer.run()
     assert trainer.steps == 3
     assert len(trainer._inflight) == 0
+
+
+def test_generator_ema(tmp_path):
+    """generator_ema_decay keeps an EMA of the generator params (a
+    GAN-vocoder stabilizer the reference lacks): exact update math,
+    checkpoint round-trip, legacy (pre-EMA) checkpoint migration, and
+    serving the EMA weights via load_model(use_ema=True)."""
+    from parallelwavegan_tpu.engine.build import (
+        example_batch, init_train_state,
+    )
+    from parallelwavegan_tpu.engine.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+    from parallelwavegan_tpu.engine.step import build_steps
+    from parallelwavegan_tpu.utils.io import save_config
+    from parallelwavegan_tpu.utils.model_loader import load_model
+
+    decay = 0.5  # large so one step moves the EMA visibly
+    config = _base_config(tmp_path)
+    config.update(
+        generator_type="MelGANGenerator",
+        generator_params={
+            "in_channels": 16, "channels": 64, "upsample_scales": [8, 8],
+            "stacks": 1,
+        },
+        discriminator_type="MelGANDiscriminator",
+        discriminator_params={
+            "channels": 8, "downsample_scales": [4],
+            "max_downsample_channels": 32,
+        },
+        generator_ema_decay=decay,
+    )
+    rng = jax.random.key(0)
+    state, g, d, opt_g, opt_d = init_train_state(config, rng)
+    assert state.ema_g is not None
+    criterion = build_criterion(config)
+    factory, _ = build_steps(config, g, d, criterion, opt_g, opt_d)
+    step = factory(True, True, True)
+    batch = example_batch(config, batch_size=2)
+    p0 = jax.device_get(state.params_g)
+    new_state, _ = step(state, batch, rng)
+
+    # exact EMA formula against the realized params
+    p1 = jax.device_get(new_state.params_g)
+    ema = jax.device_get(new_state.ema_g)
+    jax.tree.map(
+        lambda e, a, b: np.testing.assert_allclose(
+            np.asarray(e), decay * np.asarray(a) + (1 - decay) * np.asarray(b),
+            rtol=1e-6, atol=1e-7,
+        ),
+        ema, p0, p1,
+    )
+
+    # round-trip through a checkpoint (EMA enabled on both sides)
+    ckpt = os.path.join(str(tmp_path), "checkpoint-1steps.ckpt")
+    save_checkpoint(ckpt, new_state)
+    template = jax.eval_shape(
+        lambda: init_train_state(config, jax.random.key(0))[0]
+    )
+    restored = load_checkpoint(ckpt, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(restored.ema_g), ema,
+    )
+
+    # legacy checkpoint (run without EMA) into an EMA-enabled template:
+    # the EMA stream seeds from the restored params
+    legacy_cfg = dict(config)
+    legacy_cfg.pop("generator_ema_decay")
+    legacy_state, *_ = init_train_state(legacy_cfg, rng)
+    assert legacy_state.ema_g is None
+    legacy_ckpt = os.path.join(str(tmp_path), "legacy.ckpt")
+    save_checkpoint(legacy_ckpt, legacy_state)
+    migrated = load_checkpoint(legacy_ckpt, template)
+    jax.tree.map(
+        lambda e, p: np.testing.assert_array_equal(
+            np.asarray(e), np.asarray(p)
+        ),
+        jax.device_get(migrated.ema_g), jax.device_get(migrated.params_g),
+    )
+    # and the reverse: EMA checkpoint into an EMA-disabled template
+    legacy_template = jax.eval_shape(
+        lambda: init_train_state(legacy_cfg, jax.random.key(0))[0]
+    )
+    dropped = load_checkpoint(ckpt, legacy_template)
+    assert dropped.ema_g is None
+
+    # serving: use_ema picks the EMA stream (differs from raw after a step)
+    save_config(os.path.join(str(tmp_path), "config.yml"), config)
+    m_raw = load_model(ckpt, config)
+    m_ema = load_model(ckpt, config, use_ema=True)
+    mel = np.random.default_rng(0).standard_normal((20, 16)).astype(
+        np.float32
+    )
+    y_raw = m_raw.inference(mel)
+    y_ema = m_ema.inference(mel)
+    assert y_raw.shape == y_ema.shape
+    assert not np.allclose(y_raw, y_ema)
+
+
+def test_per_device_rng_decorrelation():
+    """Pin the per-device rng semantics of the sharded train step
+    (engine.step.fold_step_rng): every data-parallel shard gets a unique
+    stream (DDP per-process RNG analogue), and the full StyleMelGAN
+    family — the rng-delicate one: in-model noise draw + random-window
+    discriminator (reference models/style_melgan.py:324-337) — runs a
+    sharded G+D step deterministically with decorrelated per-device
+    noise/window streams (asserted inside _dryrun_family)."""
+    import sys
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from parallelwavegan_tpu.engine.step import fold_step_rng
+    from parallelwavegan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8])
+    axis = mesh.axis_names[0]
+
+    def derive(r):
+        k = fold_step_rng(r, jnp.asarray(3), axis)
+        return jnp.expand_dims(jax.random.key_data(k), 0)
+
+    keys = np.asarray(
+        jax.jit(
+            jax.shard_map(
+                derive, mesh=mesh, in_specs=(P(),), out_specs=P(axis),
+                check_vma=False,
+            )
+        )(jax.random.key(0))
+    )
+    assert len({tuple(k.ravel().tolist()) for k in keys}) == len(keys)
+
+    # the same step/seed without an axis is itself deterministic
+    a = jax.random.key_data(
+        fold_step_rng(jax.random.key(0), jnp.asarray(3), None)
+    )
+    b = jax.random.key_data(
+        fold_step_rng(jax.random.key(0), jnp.asarray(3), None)
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # full-path: the StyleMelGAN sharded train step (determinism +
+    # decorrelation asserts live inside _dryrun_family)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    ge._dryrun_family(
+        "style_melgan_rwd", ge._style_melgan_tiny_config(), mesh, 8,
+        equiv="decorrelated",
+    )
