@@ -735,6 +735,22 @@ def train_bench():
         k: jnp.asarray(v)
         for k, v in example_batch(cfg, batch_size=cfg["batch_size"]).items()
     }
+
+    roofline = None
+    if os.environ.get("BENCH_ROOFLINE"):
+        # XLA cost analysis of the whole compiled train step: FLOPs +
+        # bytes accessed -> compute/bandwidth floors for steps/s, the
+        # serving-roofline methodology applied to training
+        # (docs/BENCHMARKS.md "training roofline").
+        compiled = step.lower(state, batch, rng).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        roofline = {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+
     state, m = step(state, batch, rng)
     float(m["generator_loss"])  # compile
     # warm up then time (see _steady_state_time; state threads through, so
@@ -766,6 +782,67 @@ def train_bench():
             }
         )
     )
+
+    tag = "pwg_v1" if is_default else name
+    if roofline is not None:
+        # chip ceilings measured on this v5e in the serving roofline work
+        # (docs/BENCHMARKS.md): 173 TF/s practical bf16 matmul peak,
+        # ~620 GB/s conv-streaming HBM ceiling. Floors are per-STEP times.
+        peak_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", 173)) * 1e12
+        peak_bw = float(os.environ.get("BENCH_PEAK_GBS", 620)) * 1e9
+        t_compute = roofline["flops"] / peak_tf
+        t_bw = roofline["bytes"] / peak_bw
+        floor = max(t_compute, t_bw)
+        for metric, v, unit in (
+            (f"{tag}_train_tflops_per_step", roofline["flops"] / 1e12, "TF"),
+            (f"{tag}_train_gb_per_step", roofline["bytes"] / 1e9, "GB"),
+            (f"{tag}_train_mfu", roofline["flops"] / elapsed / peak_tf,
+             "frac"),
+            (f"{tag}_train_hbm_util",
+             roofline["bytes"] / elapsed / peak_bw, "frac"),
+            (f"{tag}_train_roofline_util", floor / elapsed, "frac"),
+            (f"{tag}_train_roofline_bound",
+             1.0 if t_compute >= t_bw else 0.0,
+             "1=compute-bound floor, 0=bandwidth-bound floor"),
+        ):
+            print(
+                json.dumps(
+                    {
+                        "metric": metric, "value": round(v, 4),
+                        "unit": unit, "vs_baseline": None,
+                    }
+                )
+            )
+
+    if os.environ.get("BENCH_SPLIT_GD"):
+        # decompose the step by measurement: generator-update-only and
+        # discriminator-update-only variants (the same compiled family
+        # the warm-up gating uses), naming where the time goes without
+        # trace archaeology
+        for label, flags in (
+            ("g_only", (True, True, False)),
+            ("d_only", (False, False, True)),
+        ):
+            part = factory(*flags)
+            # the step donates its input state; give each variant its own
+            # copy so the shared `state` buffers stay valid
+            s2, m2 = part(jax.tree.map(jnp.copy, state), batch, rng)
+            jax.block_until_ready(jax.tree_util.tree_leaves(m2)[0])
+            n2 = 10
+            tic = time.perf_counter()
+            for _ in range(n2):
+                s2, m2 = part(s2, batch, rng)
+            float(next(iter(m2.values())))
+            dt = (time.perf_counter() - tic) / n2
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{tag}_train_{label}_ms",
+                        "value": round(dt * 1e3, 2),
+                        "unit": "ms", "vs_baseline": None,
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":

@@ -430,25 +430,45 @@ class InferenceModel:
         an arbitrarily long utterance costs a bounded number of compiles
         and a bounded peak memory.
 
-        For noise-driven generators (Parallel WaveGAN) each chunk draws its
-        own z, which is distributionally identical to the full-utterance
-        draw but not bit-equal.
+        For noise-driven generators: Parallel WaveGAN draws a fresh z per
+        chunk (distributionally identical to the full-utterance draw but
+        not bit-equal); StyleMelGAN draws the FULL utterance's noise grid
+        once (same key/shape as synthesize_batch) and slices it per chunk
+        with chunk/context sizes rounded up to the noise-upsample grid
+        (end-of-audio pop-noise crop semantics preserved — reference
+        models/style_melgan.py:227-238). StyleMelGAN output is CLOSE but
+        not bit-equal to the full forward: TADE layers instance-normalize
+        over the whole time axis (reference tade_res_block.py:30), so the
+        generator is not time-invariant and each window sees slightly
+        different normalization statistics. The error shrinks with window
+        size (statistics are means over the window; measured ~1e-3
+        relative RMS at 224-frame windows in the regression test) and is
+        unconditionally free of seam discontinuities beyond that bound.
+
+        Multi-band (PQMF) MelGAN is supported: upsample_factor includes
+        the subband expansion and the context halo covers the PQMF
+        synthesis FIR (62 taps << one mel frame's worth of halo).
         """
         assert self.gen_type in (
             "ParallelWaveGANGenerator",
             "MelGANGenerator",
             "HiFiGANGenerator",
+            "StyleMelGANGenerator",
         ), f"chunked synthesis not supported for {self.gen_type}"
         c = np.asarray(c, dtype=np.float32)
         if normalize_before:
             assert self.mean is not None, "register_stats first"
             c = (c - self.mean) / self.scale
         T = len(c)
-        if T <= chunk_frames + 2 * context_frames:
-            return self.inference(c, rng=rng)
         if rng is None:
             rng = jax.random.key(0)
         up = self.upsample_factor
+        if self.gen_type == "StyleMelGANGenerator":
+            return self._inference_chunked_style(
+                c, chunk_frames, context_frames, rng
+            )
+        if T <= chunk_frames + 2 * context_frames:
+            return self.inference(c, rng=rng)
         window = chunk_frames + 2 * context_frames
         outs = []
         for a in range(0, T, chunk_frames):
@@ -460,6 +480,60 @@ class InferenceModel:
             y = self.synthesize_batch([c[lo:hi]], rng=sub, bucket_size=1)[0]
             outs.append(y[(a - lo) * up : (b - lo) * up])
         return np.concatenate(outs, axis=0)
+
+    def _inference_chunked_style(self, c, chunk_frames, context_frames,
+                                 rng) -> np.ndarray:
+        """StyleMelGAN chunking on the noise grid (see inference_chunked).
+
+        Every boundary (chunk starts, context halo, window size, total
+        padded length) is a multiple of noise_upsample_factor mel frames,
+        so each window's mel slice pairs with a contiguous slice of the
+        one full-utterance noise draw; TADE blocks are time-invariant
+        convs, so cropped interiors match the full forward exactly.
+        """
+        nf = int(self.generator.noise_upsample_factor)
+        up = self.upsample_factor
+
+        def align(n):
+            return -(-n // nf) * nf
+
+        T = len(c)
+        chunk = align(max(chunk_frames, 1))
+        ctx = align(max(context_frames, 1))
+        T_pad = align(T)
+        # mirror synthesize_batch's bucket padding (bucket_size=1 -> pad
+        # straight to the noise grid) so full-vs-chunked use the same
+        # noise shape AND values for a given rng
+        c_pad = np.pad(c, ((0, T_pad - T), (0, 0)), mode="edge")
+        n_frames = T_pad // nf
+        z_full = jax.random.normal(
+            rng, (1, n_frames, self.generator.in_channels), dtype=self.dtype
+        )
+        if T_pad <= chunk + 2 * ctx:
+            y = self._style_window(c_pad, z_full)
+            return y[: T * up]
+        window = chunk + 2 * ctx
+        outs = []
+        for a in range(0, T_pad, chunk):
+            b = min(a + chunk, T_pad)
+            # all quantities are nf-multiples, so lo/hi stay grid-aligned
+            lo = max(0, min(a - ctx, T_pad - window))
+            hi = min(T_pad, lo + window) if lo > 0 else b + ctx
+            y = self._style_window(
+                c_pad[lo:hi], z_full[:, lo // nf : hi // nf]
+            )
+            outs.append(y[(a - lo) * up : (b - lo) * up])
+        return np.concatenate(outs, axis=0)[: T * up]
+
+    def _style_window(self, c_window, z_window) -> np.ndarray:
+        """One StyleMelGAN window with an explicit noise slice."""
+        padded = c_window[None].astype(self.dtype)
+        fn = self._forward_fn((padded.shape, True))
+        y = np.asarray(
+            fn(self.variables, jnp.asarray(padded), z_window),
+            dtype=np.int16 if self.pcm16 else np.float32,
+        )
+        return y[0]
 
     def prepare_batch(
         self,

@@ -340,3 +340,54 @@ def test_pcm16_on_device_output(tmp_path):
     write_wav(wav_path, y16[:, 0], 16000)
     _, back = wavfile.read(wav_path)
     np.testing.assert_array_equal(back, y16[:, 0])
+
+
+def test_chunked_synthesis_style_melgan():
+    """StyleMelGAN chunked synthesis: the full noise grid is drawn once
+    and sliced per chunk on noise-grid-aligned boundaries (pop-noise crop
+    semantics of reference models/style_melgan.py:227-238 preserved).
+    TADE instance-norm statistics are window-global, so chunked output is
+    approximate, not bit-equal: assert a tight RMS-relative bound plus
+    exactness of the single-window path."""
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.utils.model_loader import InferenceModel
+
+    cfg = {
+        "generator_type": "StyleMelGANGenerator",
+        "generator_params": {
+            "in_channels": 16, "aux_channels": 16, "channels": 16,
+            "kernel_size": 9, "dilation": 2,
+            "noise_upsample_scales": (4, 2, 2),
+            "upsample_scales": (2, 2, 2, 2, 2, 2, 1),
+        },
+        "hop_size": 64,
+    }
+    from parallelwavegan_tpu.models import get_model_class
+
+    gen = get_model_class(cfg["generator_type"])(**cfg["generator_params"])
+    variables = gen.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 16, 16)), jnp.zeros((1, 1, 16)),
+    )
+    model = InferenceModel(cfg, variables, fold_norm=False)
+    rng = np.random.default_rng(0)
+    for T in (700, 33):  # tail window + shorter-than-one-chunk utterance
+        mel = rng.standard_normal((T, 16)).astype(np.float32)
+        key = jax.random.key(7)
+        full = model.synthesize_batch([mel], rng=key, bucket_size=1)[0]
+        chunked = model.inference_chunked(
+            mel, chunk_frames=128, context_frames=48, rng=key
+        )
+        assert chunked.shape == full.shape
+        if T == 33:
+            # single window == the full padded forward: exact
+            np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-5)
+        else:
+            # multi-window: bounded by the instance-norm window-statistics
+            # approximation; no seam discontinuities beyond the bound
+            rms = float(np.sqrt(np.mean(full**2)))
+            err = np.abs(chunked - full)
+            assert err.max() <= 2e-2 * rms, (err.max(), rms)
+            assert np.sqrt(np.mean(err**2)) <= 5e-3 * rms
