@@ -20,7 +20,12 @@ training steps/s for the PWG V1 config (G update + D update, batch 6 x
 on a TITAN V (egs/ljspeech/voc1/conf/parallel_wavegan.v1.yaml:4) = 1.54
 steps/s. `BENCH_MODE=<family>` benches the other families;
 `BENCH_MODE=quality` reports copy-synthesis MCD of the shipped trained
-checkpoint (add BENCH_INT8=1 for the int8 mode's quality). The int8
+checkpoint (add BENCH_INT8=1 for the int8 mode's quality);
+`BENCH_MODE=latency` times batch-1 serving per family with a
+dispatch/compute/readback split and pcm16 rows; `BENCH_MODE=all` runs
+the full matrix (throughput + latency + train + quality) as one JSON
+stream. Train mode extras: BENCH_ROOFLINE=1 (XLA cost-analysis floors),
+BENCH_SPLIT_GD=1 (G-only/D-only step decomposition). The int8
 throughput line is on by default (BENCH_INT8=0 disables it;
 BENCH_INT8_DECONV=0 restricts quantization to the MRF convs).
 
