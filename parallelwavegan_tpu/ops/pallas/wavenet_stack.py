@@ -209,8 +209,8 @@ def wavenet_stack(
     dtype as x, skip_sum (B, T, S) f32 by default).
 
     With save_inputs=True additionally returns the per-layer input windows
-    xs (B*n_chunks, L, chunk+2*halo, R) f32 — the residuals consumed by the
-    backward kernel in wavenet_stack_train.py.
+    xs (B*n_chunks, L, chunk+2*halo, R) in the matmul (weight) dtype — the
+    residuals consumed by the backward kernel in wavenet_stack_train.py.
     """
     B, T, R = x.shape
     A = c.shape[-1]
@@ -253,8 +253,16 @@ def wavenet_stack(
             pl.BlockSpec((1, 1, tb, R), lambda i, l, *_: (i, l, 0, 0),
                          memory_space=pltpu.VMEM)
         )
+        # store the saved inputs in the MATMUL dtype, not f32: the forward
+        # casts the f32 residual state to mm_dtype before every tap matmul,
+        # so post-cast values reproduce the backward's matmul inputs
+        # EXACTLY while halving the largest HBM stream of the train step
+        # (mixed precision: measured ~10 GB/step -> ~5 on PWG v1,
+        # docs/BENCHMARKS.md training roofline)
         out_shape.append(
-            jax.ShapeDtypeStruct((B * n_chunks, L, tb, R), jnp.float32)
+            jax.ShapeDtypeStruct(
+                (B * n_chunks, L, tb, R), w["w_tap"].dtype
+            )
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

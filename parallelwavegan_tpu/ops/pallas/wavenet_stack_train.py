@@ -8,8 +8,11 @@ padding. This module adds the backward Pallas kernel and wires both into
 `jax.custom_vjp`, giving the training path the same fusion.
 
 Forward saves each layer's input window (`save_inputs=True` in
-wavenet_stack.py) — 4 bytes/sample/layer of HBM, far cheaper than
-recomputing the stack in the backward pass. The backward kernel re-derives
+wavenet_stack.py) in the matmul dtype — 2 bytes/sample/layer in mixed
+precision (4 in f32 training), far cheaper than recomputing the stack in
+the backward pass, and exactly the values the forward matmuls consumed
+(the f32 residual state is cast to the matmul dtype before every tap
+contraction). The backward kernel re-derives
 the gate pre-activations from the stored inputs (one extra matmul pair per
 layer) instead of storing the (T, G) gate tensor.
 
