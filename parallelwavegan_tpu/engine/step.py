@@ -419,8 +419,14 @@ def build_steps(
     # random restarts are the standard mitigation (Jukebox/VQGAN-style)
     # the reference lacks.
     vq_restart = is_vq and bool(config.get("vq_dead_code_restart", False))
+    # restart probability per dead code per step: 1.0 re-seeds every
+    # batch-unused code immediately (maximum pressure, maximum churn);
+    # smaller values let a dead code persist ~1/p steps so nearby data
+    # can claim it before it moves again (A/B on the rich corpus:
+    # docs/VALIDATION.md VQ-VAE run)
+    vq_restart_prob = float(config.get("vq_restart_prob", 0.1))
 
-    def _vq_dead_restart(params_g, z_e, rng):
+    def _vq_dead_restart(params_g, z_e, rng, rng_shared):
         emb = params_g["codebook"]["embedding"]  # (K, D)
         flat = jax.lax.stop_gradient(z_e).reshape(-1, emb.shape[-1])
         dist = (
@@ -436,13 +442,19 @@ def build_steps(
         repl = flat[
             jax.random.randint(rng, (emb.shape[0],), 0, flat.shape[0])
         ]
+        # gate from the SHARED (pre-device-fold) stream so the restart
+        # probability is exactly vq_restart_prob regardless of mesh size,
+        # and every shard makes the same decision
+        gate = jax.random.uniform(
+            rng_shared, used.shape
+        ) < vq_restart_prob
         if axis is not None:
             # keep params replicated: every shard must write the same
             # restart vectors (the pmean of per-shard random encoder
             # outputs is itself a valid latent-cloud point)
             repl = jax.lax.pmean(repl, axis)
         new_emb = jnp.where(
-            (used == 0.0)[:, None], repl.astype(emb.dtype), emb
+            ((used == 0.0) & gate)[:, None], repl.astype(emb.dtype), emb
         )
         new_params = dict(params_g)
         new_params["codebook"] = dict(params_g["codebook"])
@@ -453,8 +465,10 @@ def build_steps(
     def train_step_factory(train_g: bool, use_adv: bool, train_d: bool):
         def step(state: GANTrainState, batch, rng) -> Tuple[GANTrainState, Dict]:
             batch = prepare_batch(batch)
+            rng_shared = jax.random.fold_in(rng, state.steps)
             rng = fold_step_rng(rng, state.steps, axis)
             r_g, r_dg, r_d, r_vq = jax.random.split(rng, 4)
+            r_vq_shared = jax.random.fold_in(rng_shared, 0x5bdead)
             metrics: Dict[str, jnp.ndarray] = {}
             params_g, opt_g_state = state.params_g, state.opt_g
             y_hat = None
@@ -477,7 +491,7 @@ def build_steps(
                 )
                 if vq_restart:
                     params_g, codes_used = _vq_dead_restart(
-                        params_g, aux_g["z_e"], r_vq
+                        params_g, aux_g["z_e"], r_vq, r_vq_shared
                     )
                     metrics["vq_codes_used"] = codes_used.astype(
                         jnp.float32

@@ -710,6 +710,10 @@ def test_vq_dead_code_restart():
         "discriminator_scheduler_params": {"step_size": 100, "gamma": 0.5},
         "generator_grad_norm": -1, "discriminator_grad_norm": -1,
         "vq_dead_code_restart": True,
+        # prob 1.0 makes the one-step semantics deterministic for the
+        # asserts below; the product default (0.1) lets dead codes
+        # persist ~10 steps before re-seeding
+        "vq_restart_prob": 1.0,
     }
     mesh = make_mesh(jax.devices()[:8])
     rng = jax.random.key(0)
