@@ -419,12 +419,14 @@ def build_steps(
     # random restarts are the standard mitigation (Jukebox/VQGAN-style)
     # the reference lacks.
     vq_restart = is_vq and bool(config.get("vq_dead_code_restart", False))
-    # restart probability per dead code per step: 1.0 re-seeds every
-    # batch-unused code immediately (maximum pressure, maximum churn);
-    # smaller values let a dead code persist ~1/p steps so nearby data
-    # can claim it before it moves again (A/B on the rich corpus:
-    # docs/VALIDATION.md VQ-VAE run)
-    vq_restart_prob = float(config.get("vq_restart_prob", 0.1))
+    # restart probability per dead code per step. 1.0 (default) re-seeds
+    # every batch-unused code immediately — A/B MEASURED on the rich
+    # corpus: always-restart reaches copy-synthesis MCD 26.8 while
+    # p=0.1 ("let dead codes persist so data can claim them") re-collapses
+    # to MCD 79 — constant re-seeding keeps the whole codebook inside the
+    # moving encoder cloud, which matters more than per-code stability
+    # (docs/VALIDATION.md VQ-VAE run).
+    vq_restart_prob = float(config.get("vq_restart_prob", 1.0))
 
     def _vq_dead_restart(params_g, z_e, rng, rng_shared):
         emb = params_g["codebook"]["embedding"]  # (K, D)
