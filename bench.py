@@ -638,7 +638,11 @@ def quality_bench():
     from parallelwavegan_tpu.utils.model_loader import InferenceModel
 
     here = os.path.dirname(os.path.abspath(__file__))
-    assets = os.path.join(here, "assets", "quality")
+    # BENCH_QUALITY_DIR points at an alternative exported asset dir
+    # (candidate-selection A/Bs against the committed one)
+    assets = os.environ.get(
+        "BENCH_QUALITY_DIR", os.path.join(here, "assets", "quality")
+    )
     if os.path.isdir(assets):
         cfg = load_config(os.path.join(assets, "config.yml"))
         from parallelwavegan_tpu.engine.checkpoint import (
