@@ -557,6 +557,45 @@ def latency_bench():
                 float(np.percentile(ts, 50)) * 1e3, "ms",
             )
 
+    # wire probes first: device->host transfer time vs payload size plus a
+    # trivial-op completion wait. If the 4-byte transfer costs ~the same
+    # as the 512 KB waveform, the batch-1 floor is the link round trip,
+    # not bandwidth or compute (docs/BENCHMARKS.md, "the floor,
+    # decomposed"). BENCH_PROBES=0 skips them.
+    if os.environ.get("BENCH_PROBES", "1") != "0":
+        import jax
+
+        for size in (1, 131072, 8388608):
+            x = jnp.zeros((size,), jnp.float32)
+            f = jax.jit(lambda x: x * 2.0)
+            y = f(x)
+            jax.block_until_ready(y)
+            np.asarray(y)
+            ts = []
+            for _ in range(20):
+                y = f(x)
+                jax.block_until_ready(y)
+                t0 = time.perf_counter()
+                np.asarray(y)
+                ts.append(time.perf_counter() - t0)
+            emit(
+                f"d2h_transfer_ms_{size * 4}B",
+                float(np.percentile(ts, 50)) * 1e3, "ms",
+            )
+        g = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8,), jnp.float32)
+        jax.block_until_ready(g(x))
+        ts = []
+        for _ in range(20):
+            y = g(x)
+            t0 = time.perf_counter()
+            jax.block_until_ready(y)
+            ts.append(time.perf_counter() - t0)
+        emit(
+            "trivial_op_completion_wait_ms",
+            float(np.percentile(ts, 50)) * 1e3, "ms",
+        )
+
     for family, (conf, ref_rtf) in _LATENCY_FAMILIES.items():
         with open(os.path.join(here, "egs/ljspeech/voc1/conf", conf)) as f:
             cfg = yaml.safe_load(f)
